@@ -1,0 +1,58 @@
+"""Fused RGCN edge aggregation: gather -> (h_src + rel) @ W -> scatter-sum.
+
+This is THE hot kernel of the framework (SURVEY.md §3.4): per snapshot
+graph with E directed edges over N entities,
+
+    msg_e   = (H[src_e] + Rel[rel_e]) @ W          # one [E,d]x[d,d] GEMM
+    out_v   = (sum_{e: dst_e=v} msg_e) * in_deg_norm_v
+
+matching the reference's DGL message/reduce/apply pipeline
+(ref:rgcn/layers.py:257-279). Two implementations:
+
+- ``impl="xla"``: gather + dense GEMM + ``segment_sum``; XLA fuses the
+  add into the GEMM and lowers the scatter to a sorted one.
+- ``impl="pallas"``: a Pallas TPU kernel that streams destination-sorted
+  edge tiles through VMEM, runs the edge GEMM on the MXU and accumulates
+  into the output rows on-chip (see :func:`_rgcn_aggregate_pallas`).
+
+Edge lists should be destination-sorted for scatter locality; the op is
+correct regardless of order.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def rgcn_aggregate(
+    h: jax.Array,  # [N, d] entity embeddings
+    rel_emb: jax.Array,  # [2R, d] relation embeddings
+    weight: jax.Array,  # [d, d] neighbor weight
+    src: jax.Array,  # [E] int32
+    dst: jax.Array,  # [E] int32
+    rel: jax.Array,  # [E] int32
+    edge_mask: jax.Array,  # [E] float {0,1}
+    in_deg_norm: jax.Array,  # [N] float
+    *,
+    impl: str = "xla",
+) -> jax.Array:
+    """Returns [N, d] aggregated neighborhood messages."""
+    if impl == "pallas":
+        from regcn_tpu.ops.pallas_rgcn import rgcn_aggregate_pallas
+
+        return rgcn_aggregate_pallas(
+            h, rel_emb, weight, src, dst, rel, edge_mask, in_deg_norm
+        )
+    return _rgcn_aggregate_xla(h, rel_emb, weight, src, dst, rel, edge_mask, in_deg_norm)
+
+
+def _rgcn_aggregate_xla(h, rel_emb, weight, src, dst, rel, edge_mask, in_deg_norm):
+    n = h.shape[0]
+    msg = (h[src] + rel_emb[rel]).astype(weight.dtype)
+    msg = jnp.dot(msg, weight, preferred_element_type=jnp.float32)
+    msg = msg * edge_mask[:, None]
+    agg = jax.ops.segment_sum(msg, dst, num_segments=n)
+    return agg * in_deg_norm[:, None]

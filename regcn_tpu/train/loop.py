@@ -1,0 +1,284 @@
+"""Training and evaluation drivers.
+
+Replaces ref:src/main.py:33-291 (epoch loop, rolling-history test loop,
+best-checkpoint logic) with a jit-compiled train step over cached padded
+history windows and a vectorised filtered-MRR evaluation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import random
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from regcn_tpu.config import ExperimentConfig
+from regcn_tpu.data.answers import AnswerFilter, build_answer_filters_by_time
+from regcn_tpu.data.dataset import TKGData
+from regcn_tpu.data.snapshots import (
+    Snapshot,
+    build_history,
+    build_snapshot,
+    pad_triples,
+    split_by_time,
+)
+from regcn_tpu.models import recurrent
+from regcn_tpu.train import metrics
+from regcn_tpu.train.state import TrainState, create_train_state, make_optimizer
+
+log = logging.getLogger(__name__)
+
+
+def construct_snap(
+    triples: np.ndarray, num_rels: int, scores: np.ndarray, topk: int
+) -> np.ndarray:
+    """Convert top-k entity predictions into a synthetic snapshot for
+    multi-step inference (ref:rgcn/utils.py:367-381)."""
+    top = np.argsort(-scores, axis=1)[:, :topk]
+    out = []
+    for i in range(len(triples)):
+        h, r = int(triples[i][0]), int(triples[i][1])
+        for idx in top[i]:
+            if r < num_rels:
+                out.append([h, r, int(idx)])
+            else:
+                out.append([int(idx), r - num_rels, h])
+    return np.asarray(out, dtype=np.int64)
+
+
+def construct_snap_r(
+    triples: np.ndarray, num_rels: int, rel_scores: np.ndarray, topk: int
+) -> np.ndarray:
+    """Relation-prediction variant (ref:rgcn/utils.py:383-405)."""
+    top = np.argsort(-rel_scores, axis=1)[:, :topk]
+    out = []
+    for i in range(len(triples)):
+        h, t = int(triples[i][0]), int(triples[i][2])
+        for idx in top[i]:
+            if idx < num_rels:
+                out.append([h, int(idx), t])
+            else:
+                out.append([t, int(idx) - num_rels, h])
+    return np.asarray(out, dtype=np.int64)
+
+
+class Trainer:
+    def __init__(self, cfg: ExperimentConfig, data: TKGData, impl: str = "xla"):
+        self.cfg = cfg
+        self.data = data
+        self.impl = impl
+        self.num_rels = data.num_rels
+        self.num_nodes = data.num_nodes
+
+        self.train_list = split_by_time(data.train)
+        self.valid_list = split_by_time(data.valid)
+        self.test_list = split_by_time(data.test)
+
+        self.static_snap = None
+        if cfg.model.use_static and data.static_triples is not None:
+            n_total = data.num_nodes + data.num_words
+            self.static_snap = build_snapshot(
+                data.static_triples, n_total, data.num_static_rels,
+                edge_bucket=cfg.train.edge_bucket,
+            )
+
+        self._history_cache: Dict[Tuple[int, int], Snapshot] = {}
+        self._triple_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+        mc, tc = cfg.model, cfg.train
+
+        def loss_fn(params, model_state, history, triples, mask, rng):
+            loss_ent, losses, new_state = recurrent.get_loss(
+                params, model_state, mc, history, triples, mask,
+                static_snap=self.static_snap, rng=rng, train=True, impl=impl,
+            )
+            total = (
+                tc.task_weight * losses["entity"]
+                + (1.0 - tc.task_weight) * losses["relation"]
+                + losses["static"]
+            )
+            return total, (losses, new_state)
+
+        opt = make_optimizer(tc)
+
+        def train_step(state: TrainState, history, triples, mask):
+            rng, step_rng = jax.random.split(state.rng)
+            grads, (losses, new_model_state) = jax.grad(loss_fn, has_aux=True)(
+                state.params, state.model_state, history, triples, mask, step_rng
+            )
+            updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
+            new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+            new_state = TrainState(
+                params=new_params,
+                opt_state=new_opt_state,
+                model_state=new_model_state,
+                rng=rng,
+                step=state.step + 1,
+            )
+            return new_state, losses
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0,))
+
+        def predict_step(state: TrainState, history, triples, mask):
+            return recurrent.predict(
+                state.params, state.model_state, mc, history, triples, mask,
+                static_snap=self.static_snap, impl=impl,
+            )
+
+        self.predict_step = jax.jit(predict_step)
+
+    # ------------------------------------------------------------------ data
+    def _history(self, snaps: Sequence[np.ndarray], cache_key=None) -> Snapshot:
+        if cache_key is not None and cache_key in self._history_cache:
+            return self._history_cache[cache_key]
+        h = build_history(
+            list(snaps), self.num_nodes, self.num_rels,
+            edge_bucket=self.cfg.train.edge_bucket,
+            rc_bucket=self.cfg.train.rc_bucket,
+        )
+        if cache_key is not None:
+            self._history_cache[cache_key] = h
+        return h
+
+    def _triples(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        if idx not in self._triple_cache:
+            self._triple_cache[idx] = pad_triples(
+                self.train_list[idx], self.num_rels, self.cfg.train.triple_bucket
+            )
+        return self._triple_cache[idx]
+
+    # ----------------------------------------------------------------- train
+    def run_epoch(self, state: TrainState, epoch: int) -> Tuple[TrainState, Dict[str, float]]:
+        tc = self.cfg.train
+        idx = list(range(len(self.train_list)))
+        random.Random(tc.seed + epoch).shuffle(idx)
+        sums = {"entity": 0.0, "relation": 0.0, "static": 0.0}
+        n = 0
+        for i in idx:
+            if i == 0:
+                continue  # no history for the first snapshot (ref:src/main.py:224)
+            lo = max(0, i - tc.train_history_len)
+            history = self._history(self.train_list[lo:i], cache_key=(lo, i))
+            triples, mask = self._triples(i)
+            state, losses = self.train_step(state, history, triples, mask)
+            for k in sums:
+                sums[k] += float(losses[k])
+            n += 1
+        return state, {k: v / max(n, 1) for k, v in sums.items()}
+
+    # ------------------------------------------------------------------ eval
+    def evaluate(
+        self,
+        state: TrainState,
+        history_list: List[np.ndarray],
+        eval_list: List[np.ndarray],
+        ent_filters: Optional[List[AnswerFilter]] = None,
+        rel_filters: Optional[List[AnswerFilter]] = None,
+        multi_step: bool = False,
+        topk: int = 10,
+    ) -> Dict[str, metrics.RankStats]:
+        """Rolling-window evaluation (ref:src/main.py:33-107)."""
+        tc = self.cfg.train
+        window = list(history_list[-tc.test_history_len:])
+        ranks: Dict[str, List[np.ndarray]] = {
+            "ent_raw": [], "ent_filter": [], "rel_raw": [], "rel_filter": []
+        }
+        for t, snap in enumerate(eval_list):
+            history = self._history(window)
+            triples, mask = pad_triples(snap, self.num_rels, tc.triple_bucket)
+            scores_ob, scores_rel = self.predict_step(state, history, triples, mask)
+            scores_ob = np.asarray(scores_ob, np.float64)
+            scores_rel = np.asarray(scores_rel, np.float64)
+            valid = mask > 0
+            tq, s_ob, s_rel = triples[valid], scores_ob[valid], scores_rel[valid]
+
+            tgt_e = tq[:, 2]
+            ranks["ent_raw"].append(metrics.ranks_from_scores(s_ob, tgt_e))
+            ranks["ent_filter"].append(
+                metrics.filtered_ranks(
+                    s_ob, tq[:, [0, 1]], tgt_e,
+                    ent_filters[t] if ent_filters else None,
+                )
+            )
+            tgt_r = tq[:, 1]
+            ranks["rel_raw"].append(metrics.ranks_from_scores(s_rel, tgt_r))
+            ranks["rel_filter"].append(
+                metrics.filtered_ranks(
+                    s_rel, tq[:, [0, 2]], tgt_r,
+                    rel_filters[t] if rel_filters else None,
+                )
+            )
+
+            if multi_step:
+                pred = construct_snap(tq, self.num_rels, s_ob, topk)
+                if len(pred):
+                    window.pop(0)
+                    window.append(pred)
+            else:
+                window.pop(0)
+                window.append(snap)
+        return {k: metrics.stat_ranks(v) for k, v in ranks.items()}
+
+    # ------------------------------------------------------------------- fit
+    def fit(
+        self,
+        state: Optional[TrainState] = None,
+        checkpoint_path: Optional[str] = None,
+        log_every: int = 1,
+    ) -> Tuple[TrainState, Dict]:
+        """Full training run with best-on-valid checkpointing
+        (ref:src/main.py:211-279)."""
+        cfg, tc = self.cfg, self.cfg.train
+        if state is None:
+            state = create_train_state(
+                jax.random.PRNGKey(tc.seed), cfg.model, tc
+            )
+        ent_filters_v = build_answer_filters_by_time(self.data.valid, self.num_rels, False)
+        rel_filters_v = build_answer_filters_by_time(self.data.valid, self.num_rels, True)
+
+        best_mrr, best_state = 0.0, state
+        history_rows = []
+        for epoch in range(tc.n_epochs):
+            t0 = time.time()
+            state, losses = self.run_epoch(state, epoch)
+            dt = time.time() - t0
+            if epoch % log_every == 0:
+                log.info(
+                    "epoch %04d | loss e/r/s: %.4f/%.4f/%.4f | %.1fs",
+                    epoch, losses["entity"], losses["relation"], losses["static"], dt,
+                )
+            if epoch % tc.evaluate_every == 0:
+                stats = self.evaluate(
+                    state, self.train_list, self.valid_list,
+                    ent_filters_v, rel_filters_v,
+                )
+                mrr = stats["ent_raw"].mrr
+                history_rows.append(
+                    {"epoch": epoch, "losses": losses, "valid_mrr_raw": mrr,
+                     "valid_mrr_filter": stats["ent_filter"].mrr, "epoch_time_s": dt}
+                )
+                log.info(
+                    "epoch %04d | valid MRR raw %.4f filtered %.4f (best %.4f)",
+                    epoch, mrr, stats["ent_filter"].mrr, best_mrr,
+                )
+                if mrr > best_mrr:
+                    best_mrr = mrr
+                    best_state = state
+                    if checkpoint_path:
+                        from regcn_tpu.train.state import save_checkpoint
+
+                        save_checkpoint(checkpoint_path, state, {"epoch": epoch, "mrr": mrr})
+        return best_state, {"best_valid_mrr_raw": best_mrr, "history": history_rows}
+
+    def test(self, state: TrainState, multi_step: bool = False, topk: int = 10):
+        ent_f = build_answer_filters_by_time(self.data.test, self.num_rels, False)
+        rel_f = build_answer_filters_by_time(self.data.test, self.num_rels, True)
+        return self.evaluate(
+            state, self.train_list + self.valid_list, self.test_list,
+            ent_f, rel_f, multi_step=multi_step, topk=topk,
+        )

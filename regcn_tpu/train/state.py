@@ -1,0 +1,86 @@
+"""Train state and checkpointing.
+
+The reference checkpoints only ``state_dict`` + epoch on best validation
+MRR with no optimizer state and no mid-epoch resume
+(ref:src/main.py:266-279; SURVEY.md §5). Here the full train state
+(params, optimizer state, BatchNorm stats, PRNG key, step) is an
+immutable pytree checkpointed with orbax, so training is resumable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from regcn_tpu.config import ModelConfig, TrainConfig
+from regcn_tpu.models import recurrent
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Dict[str, Any]
+    opt_state: Any
+    model_state: recurrent.ModelState
+    rng: jax.Array
+    step: jax.Array  # scalar int32
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    """torch-parity optimizer: clip-by-global-norm, then Adam with coupled
+    (pre-moment) L2 weight decay — matching ``torch.optim.Adam(weight_decay=
+    1e-5)`` + ``clip_grad_norm_`` (ref:src/main.py:194,244)."""
+    return optax.chain(
+        optax.clip_by_global_norm(tc.grad_norm),
+        optax.add_decayed_weights(tc.weight_decay),
+        optax.adam(tc.lr),
+    )
+
+
+def create_train_state(
+    rng: jax.Array, cfg: ModelConfig, tc: TrainConfig
+) -> TrainState:
+    k_init, k_train = jax.random.split(rng)
+    params, model_state = recurrent.init_params(k_init, cfg)
+    opt = make_optimizer(tc)
+    opt_state = opt.init(params)
+    return TrainState(
+        params=params,
+        opt_state=opt_state,
+        model_state=model_state,
+        rng=k_train,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def save_checkpoint(path: str, state: TrainState, meta: Dict[str, Any] | None = None):
+    import json
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.join(path, "state"), state, force=True)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta or {}, f)
+
+
+def restore_checkpoint(path: str, template: TrainState):
+    import json
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    state = ckptr.restore(os.path.join(path, "state"), item=template)
+    meta = {}
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return state, meta
