@@ -1,0 +1,149 @@
+"""Whole-epoch fused training: one XLA program per epoch.
+
+The reference dispatches one Python-side training step per snapshot
+(ref:src/main.py:223-246) — on TPU (especially through a remote tunnel)
+per-step dispatch latency dominates for ICEWS-sized snapshots. Here the
+entire dataset of padded snapshots lives in HBM as a ``SnapshotStore``
+and an epoch is ONE jitted ``lax.scan`` over a shuffled index vector:
+each scan iteration slices its history window out of the store with
+``dynamic_slice``, recomputes degree norms on-device, takes gradients
+and applies the optimizer — exactly one optimizer step per snapshot,
+matching the reference's SGD granularity.
+
+Snapshots whose history window would be shorter than ``history_len``
+(the first few indices) are handled by the caller through the per-step
+path; the scan covers all full-window indices.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from regcn_tpu.config import ModelConfig, TrainConfig
+from regcn_tpu.data.snapshots import Snapshot, _round_up, build_snapshot, pad_triples
+from regcn_tpu.models import recurrent
+from regcn_tpu.train.state import TrainState, make_optimizer
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SnapshotStore:
+    """All snapshots of a split, uniformly padded, device-resident.
+
+    Degree norms are NOT stored (recomputed on device per step): that
+    keeps the store O(S * E_pad) instead of O(S * N).
+    """
+
+    src: jax.Array  # [S, E]
+    dst: jax.Array  # [S, E]
+    rel: jax.Array  # [S, E]
+    edge_mask: jax.Array  # [S, E]
+    rc_rel: jax.Array  # [S, M]
+    rc_ent: jax.Array  # [S, M]
+    rc_mask: jax.Array  # [S, M]
+    triples: jax.Array  # [S, B, 3] with inverses
+    triple_mask: jax.Array  # [S, B]
+    num_nodes: int = dataclasses.field(metadata={"static": True})
+
+
+def build_snapshot_store(
+    snap_list: List[np.ndarray],
+    num_nodes: int,
+    num_rels: int,
+    edge_bucket: int = 1024,
+    rc_bucket: int = 1024,
+    triple_bucket: int = 512,
+) -> SnapshotStore:
+    E = _round_up(max(2 * len(t) for t in snap_list), edge_bucket)
+    M = _round_up(max(4 * len(t) for t in snap_list), rc_bucket)
+    B = _round_up(max(2 * len(t) for t in snap_list), triple_bucket)
+    fields = {k: [] for k in ("src", "dst", "rel", "edge_mask", "rc_rel", "rc_ent", "rc_mask")}
+    trips, tmasks = [], []
+    for t in snap_list:
+        sn = build_snapshot(t, num_nodes, num_rels, edge_pad=E, rc_pad=M)
+        for k in fields:
+            fields[k].append(getattr(sn, k))
+        tt, tm = pad_triples(t, num_rels, bucket=B)
+        trips.append(tt)
+        tmasks.append(tm)
+    return SnapshotStore(
+        **{k: jnp.asarray(np.stack(v)) for k, v in fields.items()},
+        triples=jnp.asarray(np.stack(trips)),
+        triple_mask=jnp.asarray(np.stack(tmasks)),
+        num_nodes=num_nodes,
+    )
+
+
+def window_snapshot(store: SnapshotStore, start: jax.Array, hlen: int) -> Snapshot:
+    """Slice a [T, ...] history window out of the store and recompute the
+    per-step degree norms on device."""
+
+    def sl(a):
+        return jax.lax.dynamic_slice_in_dim(a, start, hlen, axis=0)
+
+    src, dst, rel = sl(store.src), sl(store.dst), sl(store.rel)
+    emask = sl(store.edge_mask)
+    in_deg = jax.vmap(
+        lambda d, m: jax.ops.segment_sum(m, d, num_segments=store.num_nodes)
+    )(dst, emask)
+    return Snapshot(
+        src=src, dst=dst, rel=rel, edge_mask=emask,
+        in_deg_norm=1.0 / jnp.maximum(in_deg, 1.0),
+        has_in_edge=(in_deg > 0).astype(jnp.float32),
+        rc_rel=sl(store.rc_rel), rc_ent=sl(store.rc_ent), rc_mask=sl(store.rc_mask),
+        num_edges=int(store.src.shape[1]),
+        num_triples=int(store.triples.shape[1]),
+    )
+
+
+def make_epoch_fn(
+    cfg: ModelConfig,
+    tc: TrainConfig,
+    static_snap=None,
+    impl: str = "xla",
+):
+    """Returns jitted ``epoch_fn(state, store, order) -> (state, losses)``.
+
+    ``order``: [K] int32 of snapshot indices, each >= history_len; the
+    window for index i is [i-hlen, i).
+    """
+    opt = make_optimizer(tc)
+    hlen = tc.train_history_len
+
+    def loss_fn(params, model_state, history, triples, mask, rng):
+        _, losses, new_state = recurrent.get_loss(
+            params, model_state, cfg, history, triples, mask,
+            static_snap=static_snap, rng=rng, train=True, impl=impl,
+        )
+        total = (
+            tc.task_weight * losses["entity"]
+            + (1.0 - tc.task_weight) * losses["relation"]
+            + losses["static"]
+        )
+        return total, (losses, new_state)
+
+    def epoch_fn(state: TrainState, store: SnapshotStore, order: jax.Array):
+        def body(st: TrainState, i):
+            history = window_snapshot(store, i - hlen, hlen)
+            triples = store.triples[i]
+            mask = store.triple_mask[i]
+            rng, step_rng = jax.random.split(st.rng)
+            grads, (losses, new_model_state) = jax.grad(loss_fn, has_aux=True)(
+                st.params, st.model_state, history, triples, mask, step_rng
+            )
+            updates, new_opt_state = opt.update(grads, st.opt_state, st.params)
+            new_params = jax.tree.map(lambda p, u: p + u, st.params, updates)
+            new_st = TrainState(
+                params=new_params, opt_state=new_opt_state,
+                model_state=new_model_state, rng=rng, step=st.step + 1,
+            )
+            return new_st, losses
+
+        return jax.lax.scan(body, state, order)
+
+    return jax.jit(epoch_fn, donate_argnums=(0,))

@@ -132,6 +132,9 @@ class Trainer:
 
         self.predict_step = jax.jit(predict_step)
 
+        self._store = None
+        self._epoch_fn = None
+
     # ------------------------------------------------------------------ data
     def _history(self, snaps: Sequence[np.ndarray], cache_key=None) -> Snapshot:
         if cache_key is not None and cache_key in self._history_cache:
@@ -153,6 +156,53 @@ class Trainer:
         return self._triple_cache[idx]
 
     # ----------------------------------------------------------------- train
+    def _ensure_store(self):
+        if self._store is None:
+            from regcn_tpu.train.epoch import build_snapshot_store, make_epoch_fn
+
+            tc = self.cfg.train
+            self._store = build_snapshot_store(
+                self.train_list, self.num_nodes, self.num_rels,
+                edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
+                triple_bucket=tc.triple_bucket,
+            )
+            self._epoch_fn = make_epoch_fn(
+                self.cfg.model, tc, static_snap=self.static_snap, impl=self.impl
+            )
+        return self._store, self._epoch_fn
+
+    def run_epoch_fused(
+        self, state: TrainState, epoch: int
+    ) -> Tuple[TrainState, Dict[str, float]]:
+        """Whole-epoch device-resident training (one XLA call for all
+        full-window snapshots; short-history prefix via the per-step path)."""
+        import numpy as _np
+
+        tc = self.cfg.train
+        store, epoch_fn = self._ensure_store()
+        hlen = tc.train_history_len
+        # short-history indices (1..hlen-1) via the per-step path, shuffled
+        prefix = [i for i in range(1, min(hlen, len(self.train_list)))]
+        random.Random(tc.seed + epoch).shuffle(prefix)
+        sums = {"entity": 0.0, "relation": 0.0, "static": 0.0}
+        n = 0
+        for i in prefix:
+            lo = max(0, i - hlen)
+            history = self._history(self.train_list[lo:i], cache_key=(lo, i))
+            triples, mask = self._triples(i)
+            state, losses = self.train_step(state, history, triples, mask)
+            for k in sums:
+                sums[k] += float(losses[k])
+            n += 1
+        full = _np.arange(hlen, len(self.train_list), dtype=_np.int32)
+        if len(full):
+            _np.random.default_rng(tc.seed + epoch).shuffle(full)
+            state, loss_stack = epoch_fn(state, store, jnp.asarray(full))
+            for k in sums:
+                sums[k] += float(jnp.sum(loss_stack[k]))
+            n += len(full)
+        return state, {k: v / max(n, 1) for k, v in sums.items()}
+
     def run_epoch(self, state: TrainState, epoch: int) -> Tuple[TrainState, Dict[str, float]]:
         tc = self.cfg.train
         idx = list(range(len(self.train_list)))
@@ -245,7 +295,7 @@ class Trainer:
         history_rows = []
         for epoch in range(tc.n_epochs):
             t0 = time.time()
-            state, losses = self.run_epoch(state, epoch)
+            state, losses = self.run_epoch_fused(state, epoch)
             dt = time.time() - t0
             if epoch % log_every == 0:
                 log.info(
