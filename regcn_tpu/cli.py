@@ -1,0 +1,207 @@
+"""Command-line experiment driver.
+
+Parity with ref:src/main.py:294-447 (train/test/grid-search driver and
+its ~35 flags), re-expressed over the typed configs. Run as
+
+    python -m regcn_tpu.cli train -d synthetic-small --n-epochs 10
+    python -m regcn_tpu.cli test  -d synthetic-small --checkpoint models/...
+    python -m regcn_tpu.cli grid  -d synthetic-small --tune n_hidden,dropout
+
+Hyperparameter grid parity: ref:src/hyperparameter_range.py:6-11.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import logging
+import os
+import sys
+
+import jax
+import numpy as np
+
+# grid-search ranges (parity with ref:src/hyperparameter_range.py:6-11)
+HP_RANGE = {
+    "n_hidden": [100, 200],
+    "n_layers": [1, 2],
+    "dropout": [0.2, 0.4],
+    "n_bases": [50, 100],
+    "lr": [1e-3, 5e-4],
+    "train_history_len": [1, 3, 7, 10],
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="regcn_tpu", description="TPU-native RE-GCN")
+    p.add_argument("mode", choices=["train", "test", "grid", "bench"])
+    p.add_argument("-d", "--dataset", required=True)
+    p.add_argument("--data-dir", default="data")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--models-dir", default="models")
+    # encoder
+    p.add_argument("--encoder", default="uvrgcn")
+    p.add_argument("--n-hidden", type=int, default=200)
+    p.add_argument("--n-layers", type=int, default=2)
+    p.add_argument("--dropout", type=float, default=0.2)
+    p.add_argument("--n-bases", type=int, default=100)
+    p.add_argument("--self-loop", action="store_true", default=True)
+    p.add_argument("--skip-connect", action="store_true", default=False)
+    p.add_argument("--layer-norm", action="store_true", default=True)
+    # decoder
+    p.add_argument("--decoder", default="convtranse")
+    p.add_argument("--input-dropout", type=float, default=0.2)
+    p.add_argument("--hidden-dropout", type=float, default=0.2)
+    p.add_argument("--feat-dropout", type=float, default=0.2)
+    # static graph
+    p.add_argument("--add-static-graph", action="store_true", default=False)
+    p.add_argument("--weight", type=float, default=0.5, help="static loss weight")
+    p.add_argument("--discount", type=float, default=1.0)
+    p.add_argument("--angle", type=float, default=10.0)
+    # tasks
+    p.add_argument("--entity-prediction", action="store_true", default=True)
+    p.add_argument("--relation-prediction", action="store_true", default=True)
+    p.add_argument("--task-weight", type=float, default=0.7)
+    # training
+    p.add_argument("--n-epochs", type=int, default=30)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--grad-norm", type=float, default=1.0)
+    p.add_argument("--evaluate-every", type=int, default=1)
+    p.add_argument("--seed", type=int, default=2023)
+    # history
+    p.add_argument("--train-history-len", type=int, default=3)
+    p.add_argument("--test-history-len", type=int, default=3)
+    p.add_argument("--dilate-len", type=int, default=1)
+    # inference
+    p.add_argument("--multi-step", action="store_true", default=False)
+    p.add_argument("--topk", type=int, default=10)
+    p.add_argument("--relation-evaluation", action="store_true", default=False)
+    # grid search
+    p.add_argument("--tune", default="n_hidden,n_layers,dropout,n_bases")
+    # misc
+    p.add_argument("--run-analysis", action="store_true", default=False)
+    p.add_argument("--impl", default="xla", choices=["xla", "pallas"])
+    return p
+
+
+def make_experiment(args, data):
+    from regcn_tpu.config import (
+        DataConfig,
+        ExperimentConfig,
+        ModelConfig,
+        TrainConfig,
+    )
+
+    model = ModelConfig(
+        num_ents=data.num_nodes,
+        num_rels=data.num_rels,
+        h_dim=args.n_hidden,
+        n_layers=args.n_layers,
+        dropout=args.dropout,
+        input_dropout=args.input_dropout,
+        hidden_dropout=args.hidden_dropout,
+        feat_dropout=args.feat_dropout,
+        self_loop=args.self_loop,
+        skip_connect=args.skip_connect,
+        layer_norm=args.layer_norm,
+        entity_prediction=args.entity_prediction,
+        relation_prediction=args.relation_prediction,
+        use_static=args.add_static_graph,
+        num_static_rels=data.num_static_rels,
+        num_words=data.num_words,
+        n_bases=args.n_bases,
+        static_weight=args.weight,
+        discount=args.discount,
+        angle=args.angle,
+    )
+    train = TrainConfig(
+        lr=args.lr,
+        grad_norm=args.grad_norm,
+        n_epochs=args.n_epochs,
+        evaluate_every=args.evaluate_every,
+        task_weight=args.task_weight,
+        train_history_len=args.train_history_len,
+        test_history_len=args.test_history_len,
+        seed=args.seed,
+    )
+    return ExperimentConfig(model=model, train=train, data=DataConfig(dataset=args.dataset))
+
+
+def model_name(args) -> str:
+    """Checkpoint name encoding the hyperparameter signature
+    (ref:src/main.py:136-139)."""
+    return (
+        f"{args.dataset}-{args.encoder}-{args.decoder}-ly{args.n_layers}"
+        f"-dilate{args.dilate_len}-his{args.train_history_len}"
+        f"-w{args.weight}-disc{args.discount}-angle{args.angle}"
+        f"-dp{args.dropout}|{args.input_dropout}|{args.hidden_dropout}|{args.feat_dropout}"
+    )
+
+
+def run_single(args) -> dict:
+    from regcn_tpu.data import load_data
+    from regcn_tpu.train.loop import Trainer
+    from regcn_tpu.train.state import create_train_state, restore_checkpoint
+
+    data = load_data(args.dataset, args.data_dir, load_static=args.add_static_graph)
+    cfg = make_experiment(args, data)
+    trainer = Trainer(cfg, data, impl=args.impl)
+    ckpt = args.checkpoint or os.path.join(args.models_dir, model_name(args))
+
+    if args.mode == "test":
+        tpl = create_train_state(jax.random.PRNGKey(args.seed), cfg.model, cfg.train)
+        state, meta = restore_checkpoint(ckpt, tpl)
+        logging.info("loaded checkpoint %s (meta %s)", ckpt, meta)
+    else:
+        state, info = trainer.fit(checkpoint_path=ckpt)
+        logging.info("best valid MRR (raw): %.4f", info["best_valid_mrr_raw"])
+
+    stats = trainer.test(state, multi_step=args.multi_step, topk=args.topk)
+    result = {
+        k: {"mrr": s.mrr, **{f"hits@{h}": v for h, v in s.hits.items()}}
+        for k, s in stats.items()
+    }
+    print(json.dumps(result, indent=2))
+    return result
+
+
+def run_grid(args):
+    """Cartesian grid search (ref:src/main.py:403-443)."""
+    keys = [k.strip() for k in args.tune.split(",") if k.strip()]
+    for k in keys:
+        if k not in HP_RANGE:
+            raise SystemExit(f"unknown hyperparameter {k!r}; known: {list(HP_RANGE)}")
+    out_log = f"{args.dataset}.{args.encoder}-{args.decoder}.gs"
+    combos = list(itertools.product(*[HP_RANGE[k] for k in keys]))
+    logging.info("grid search over %s: %d combos -> %s", keys, len(combos), out_log)
+    results = []
+    with open(out_log, "w") as f:
+        for combo in combos:
+            for k, v in zip(keys, combo):
+                setattr(args, {"n_hidden": "n_hidden"}.get(k, k), v)
+            r = run_single(args)
+            row = {"params": dict(zip(keys, combo)), "test_ent_mrr_raw": r["ent_raw"]["mrr"]}
+            results.append(row)
+            f.write(json.dumps(row) + "\n")
+            f.flush()
+    best = max(results, key=lambda r: r["test_ent_mrr_raw"])
+    logging.info("best: %s", best)
+    return results
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    args = build_parser().parse_args(argv)
+    if args.mode == "grid":
+        args.mode = "train"
+        return run_grid(args)
+    if args.mode == "bench":
+        import bench
+
+        return bench.main()
+    return run_single(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -127,13 +127,14 @@ def init_rgcn_block_layer(
     assert h_dim % n_bases == 0, "h_dim must divide n_bases for block layer"
     sub = h_dim // n_bases
     w = xavier_uniform(rng, (num_rels, n_bases * sub * sub), gain=RELU_GAIN)
-    return {"weight": w, "n_bases": n_bases}
+    return {"weight": w}
 
 
 def rgcn_block_layer(
     params: Params,
     h: jax.Array,  # [N_total, d] (entities ++ words for the static graph)
     snap,
+    n_bases: int,
     *,
     rng: Optional[jax.Array] = None,
     dropout: float = 0.0,
@@ -146,7 +147,6 @@ def rgcn_block_layer(
     instantiated at ref:src/rrgcn.py:104-105 with activation=F.rrelu).
     """
     n = h.shape[0]
-    n_bases = params["n_bases"]
     d = h.shape[1]
     sub = d // n_bases
     w_e = params["weight"][snap.rel].reshape(-1, n_bases, sub, sub)

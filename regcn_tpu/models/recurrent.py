@@ -81,7 +81,7 @@ def _static_init(params, cfg: ModelConfig, static_snap, rng, train):
     """Static word-graph init of entity state (ref:src/rrgcn.py:146-152)."""
     h_all = jnp.concatenate([params["dynamic_emb"], params["words_emb"]], axis=0)
     out = rgcn_block_layer(
-        params["static_rgcn"], h_all, static_snap,
+        params["static_rgcn"], h_all, static_snap, cfg.n_bases,
         rng=rng, dropout=cfg.dropout, train=train,
     )
     static_emb = out[: cfg.num_ents]
