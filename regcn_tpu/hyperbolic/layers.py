@@ -1,0 +1,376 @@
+"""Hyperbolic GNN encoder layers (functional, pytree params).
+
+Four encoder families, parity with ref:hyperbolic_src/hyperbolic_layers.py:
+
+- ``hyperbolic_union_rgcn``  (ref :164-323) — tangent-space UnionRGCN with
+  radius-gap message weighting exp(-γ|r_src - r_dst|), dual self-loop,
+  ±10 tangent clamps.
+- ``fhnn``  (ref :331-521) — per-relation Möbius matvec messages +
+  Einstein-midpoint aggregation, Möbius self-loop.
+- ``lgcn``  (ref :524-743) — block-decomposed tangent transform, messages
+  aggregated as weighted Lorentz centroids on the hyperboloid.
+- ``hgat``  (ref :746-975) — multi-head hyperbolic attention with logits
+  from log_0(h_src ⊕ -h_dst), per-head Einstein midpoint, head averaging
+  in tangent space.
+
+All per-node Python loops in the reference's reduce functions
+(ref :429-434, :620-625, :855-863 — its biggest single-chip inefficiency,
+SURVEY.md §2.5) are replaced by flat segment reductions over the padded
+edge arrays; attention softmax is a masked segment softmax.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from regcn_tpu.hyperbolic import ops as H
+from regcn_tpu.ops.activations import rrelu
+from regcn_tpu.ops.segment import segment_softmax
+from regcn_tpu.utils.init import RELU_GAIN, xavier_uniform
+
+Params = Dict[str, jax.Array]
+
+CLAMP = 10.0  # tangent clamp (ref :296, :310, :672, :683)
+
+
+def _dropout(x, rate, rng, train):
+    if not train or rate <= 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def _dual_self_loop(params, h_tan, has_in_edge):
+    loop_in = h_tan @ params["loop_w"]
+    loop_iso = h_tan @ params["evolve_loop_w"]
+    return jnp.where(has_in_edge[:, None] > 0, loop_in, loop_iso)
+
+
+# --------------------------------------------------------------- UnionRGCN
+
+def init_hyperbolic_union_layer(rng, h_dim, self_loop=True, skip_connect=False) -> Params:
+    ks = jax.random.split(rng, 4)
+    p = {"w_neighbor": xavier_uniform(ks[0], (h_dim, h_dim), gain=RELU_GAIN)}
+    if self_loop:
+        p["loop_w"] = xavier_uniform(ks[1], (h_dim, h_dim), gain=RELU_GAIN)
+        p["evolve_loop_w"] = xavier_uniform(ks[2], (h_dim, h_dim), gain=RELU_GAIN)
+    if skip_connect:
+        p["skip_w"] = xavier_uniform(ks[3], (h_dim, h_dim), gain=RELU_GAIN)
+        p["skip_b"] = jnp.zeros((h_dim,))
+    return p
+
+
+def hyperbolic_union_layer(
+    params: Params,
+    h_hyper: jax.Array,  # [N, d] on the ball
+    rel_emb: jax.Array,  # [2R, d] tangent
+    snap,
+    c,
+    *,
+    prev_h: Optional[jax.Array] = None,  # ball points (previous layer input)
+    radius_gamma: float = 1.0,
+    dropout: float = 0.0,
+    rng=None,
+    train: bool = False,
+) -> jax.Array:
+    n = h_hyper.shape[0]
+    h_tan = H.log_map_zero(h_hyper, c)
+    radius = H.get_radius(h_hyper)
+
+    msg = (h_tan[snap.src] + rel_emb[snap.rel]) @ params["w_neighbor"]
+    rw = jnp.exp(-radius_gamma * jnp.abs(radius[snap.src] - radius[snap.dst]))
+    msg = msg * (rw * snap.edge_mask)[:, None]
+    agg = jax.ops.segment_sum(msg, snap.dst, num_segments=n)
+    h_new = agg * snap.in_deg_norm[:, None]
+    h_new = jnp.clip(h_new, -CLAMP, CLAMP)
+
+    if "loop_w" in params:
+        loop = _dual_self_loop(params, h_tan, snap.has_in_edge)
+    if prev_h is not None and "skip_w" in params:
+        prev_tan = H.log_map_zero(prev_h, c)
+        gate = jax.nn.sigmoid(prev_tan @ params["skip_w"] + params["skip_b"])
+        if "loop_w" in params:
+            h_new = h_new + loop
+        h_new = gate * h_new + (1 - gate) * prev_tan
+    elif "loop_w" in params:
+        h_new = h_new + loop
+
+    h_new = jnp.clip(h_new, -CLAMP, CLAMP)
+    h_new = rrelu(h_new, None, train=False)  # F.rrelu default training=False
+    h_new = _dropout(h_new, dropout, rng, train)
+    return H.exp_map_zero(h_new, c)
+
+
+# --------------------------------------------------------------------- FHNN
+
+def init_fhnn_layer(rng, h_dim, num_rels, self_loop=True) -> Params:
+    ks = jax.random.split(rng, 2)
+    # xavier on view(-1, out): fans = (R*d, d) (ref :361-362)
+    bound = math.sqrt(6.0 / (num_rels * h_dim + h_dim))
+    p = {
+        "rel_weight": jax.random.uniform(
+            ks[0], (num_rels, h_dim, h_dim), minval=-bound, maxval=bound
+        )
+    }
+    if self_loop:
+        p["loop_w"] = xavier_uniform(ks[1], (h_dim, h_dim))
+    return p
+
+
+def fhnn_layer(
+    params: Params,
+    h_hyper: jax.Array,
+    rel_emb: Optional[jax.Array],
+    snap,
+    c,
+    *,
+    prev_h=None,  # unused, API compat (ref :444)
+    dropout: float = 0.0,
+    rng=None,
+    train: bool = False,
+) -> jax.Array:
+    n = h_hyper.shape[0]
+    h_tan = H.log_map_zero(h_hyper, c)
+    w_e = params["rel_weight"][snap.rel]  # [E, d, d]
+    msg_tan = jnp.einsum("ed,edf->ef", h_tan[snap.src], w_e)
+    if rel_emb is not None:
+        msg_tan = msg_tan + rel_emb[snap.rel]
+    msg_ball = H.exp_map_zero(msg_tan, c)
+    weights = snap.in_deg_norm[snap.dst] * snap.edge_mask
+    h_agg = H.einstein_midpoint_segments(msg_ball, weights, snap.dst, n, c)
+
+    if "loop_w" in params:
+        loop_ball = H.exp_map_zero(h_tan @ params["loop_w"], c)
+        h_new = H.mobius_add(h_agg, loop_ball, c)
+    else:
+        h_new = h_agg
+
+    # activation + dropout in tangent space (ref :466-475)
+    t = H.log_map_zero(h_new, c)
+    t = rrelu(t, None, train=False)
+    h_new = H.exp_map_zero(t, c)
+    if train and dropout > 0 and rng is not None:
+        t = H.log_map_zero(h_new, c)
+        t = _dropout(t, dropout, rng, train)
+        h_new = H.exp_map_zero(t, c)
+    return h_new
+
+
+# --------------------------------------------------------------------- LGCN
+
+def init_lgcn_layer(rng, h_dim, num_rels, n_bases=-1, self_loop=True, skip_connect=False) -> Params:
+    nb = num_rels if n_bases <= 0 else min(n_bases, num_rels)
+    assert h_dim % nb == 0, f"h_dim {h_dim} must be divisible by n_bases {nb}"
+    sub = h_dim // nb
+    ks = jax.random.split(rng, 4)
+    p = {
+        "weight": xavier_uniform(ks[0], (num_rels, nb * sub * sub), gain=RELU_GAIN),
+    }
+    if self_loop:
+        p["loop_w"] = xavier_uniform(ks[1], (h_dim, h_dim), gain=RELU_GAIN)
+        p["evolve_loop_w"] = xavier_uniform(ks[2], (h_dim, h_dim), gain=RELU_GAIN)
+    if skip_connect:
+        p["skip_w"] = xavier_uniform(ks[3], (h_dim, h_dim), gain=RELU_GAIN)
+        p["skip_b"] = jnp.zeros((h_dim,))
+    return p
+
+
+def lgcn_layer(
+    params: Params,
+    h_hyper: jax.Array,
+    rel_emb: Optional[jax.Array],
+    snap,
+    c,
+    n_bases: int,
+    *,
+    prev_h=None,
+    dropout: float = 0.0,
+    rng=None,
+    train: bool = False,
+) -> jax.Array:
+    n, d = h_hyper.shape
+    nb = n_bases
+    sub = d // nb
+    h_tan = H.log_map_zero(h_hyper, c)
+
+    w_e = params["weight"][snap.rel].reshape(-1, nb, sub, sub)
+    src_feat = h_tan[snap.src].reshape(-1, nb, sub)
+    msg_tan = jnp.einsum("ebi,ebio->ebo", src_feat, w_e).reshape(-1, d)
+    if rel_emb is not None:
+        msg_tan = msg_tan + rel_emb[snap.rel]
+    msg_lorentz = H.to_lorentz(H.exp_map_zero(msg_tan, c), c)
+    weights = snap.in_deg_norm[snap.dst] * snap.edge_mask
+    agg_lorentz = H.lorentz_centroid_segments(msg_lorentz, weights, snap.dst, n, c)
+    h_new = H.log_map_zero(H.to_poincare(agg_lorentz, c), c)
+    h_new = jnp.clip(h_new, -CLAMP, CLAMP)
+
+    if "loop_w" in params:
+        loop = _dual_self_loop(params, h_tan, snap.has_in_edge)
+    if prev_h is not None and "skip_w" in params:
+        prev_tan = H.log_map_zero(prev_h, c)
+        gate = jax.nn.sigmoid(prev_tan @ params["skip_w"] + params["skip_b"])
+        if "loop_w" in params:
+            h_new = h_new + loop
+        h_new = gate * h_new + (1 - gate) * prev_tan
+    elif "loop_w" in params:
+        h_new = h_new + loop
+
+    h_new = jnp.clip(h_new, -CLAMP, CLAMP)
+    h_new = rrelu(h_new, None, train=False)
+    h_new = _dropout(h_new, dropout, rng, train)
+    return H.exp_map_zero(h_new, c)
+
+
+# --------------------------------------------------------------------- HGAT
+
+def init_hgat_layer(rng, h_dim, num_rels, num_heads=4, self_loop=True, skip_connect=False) -> Params:
+    head_dim = h_dim  # concat_heads=False in the reference cell (ref :948)
+    ks = jax.random.split(rng, 4)
+    bw = math.sqrt(6.0 / (num_rels * num_heads * h_dim + head_dim))
+    bv = math.sqrt(6.0 / (num_rels * num_heads + head_dim))
+    p = {
+        "rel_weight": jax.random.uniform(
+            ks[0], (num_rels, num_heads, h_dim, head_dim), minval=-bw, maxval=bw
+        ),
+        "attn_vec": jax.random.uniform(
+            ks[1], (num_rels, num_heads, head_dim), minval=-bv, maxval=bv
+        ),
+    }
+    if self_loop:
+        p["loop_w"] = xavier_uniform(ks[2], (h_dim, h_dim))
+    if skip_connect:
+        p["skip_w"] = xavier_uniform(ks[3], (h_dim, h_dim))
+        p["skip_b"] = jnp.zeros((h_dim,))
+    return p
+
+
+def hgat_layer(
+    params: Params,
+    h_hyper: jax.Array,
+    rel_emb: Optional[jax.Array],  # unused in attention (ref :882)
+    snap,
+    c,
+    *,
+    num_heads: int = 4,
+    prev_h=None,
+    dropout: float = 0.0,
+    rng=None,
+    train: bool = False,
+) -> jax.Array:
+    n, d = h_hyper.shape
+    h_tan = H.log_map_zero(h_hyper, c)
+    src_tan = h_tan[snap.src]  # [E, d]
+
+    w_e = params["rel_weight"][snap.rel]  # [E, H, d, hd]
+    msgs_tan = jnp.einsum("ed,ehdf->ehf", src_tan, w_e)  # [E, H, hd]
+    msgs_ball = H.exp_map_zero(msgs_tan, c)
+
+    diff = H.mobius_add(h_hyper[snap.src], -h_hyper[snap.dst], c)
+    diff_tan = H.log_map_zero(diff, c)  # [E, d]; head_dim == d so no slice
+    av = params["attn_vec"][snap.rel]  # [E, H, hd]
+    scores = jax.nn.leaky_relu(
+        jnp.einsum("ehf,ef->eh", av, diff_tan), negative_slope=0.2
+    )
+
+    # per-node, per-head masked segment softmax + Einstein midpoint
+    def head_agg(head_scores, head_msgs):
+        alpha = segment_softmax(head_scores, snap.dst, snap.edge_mask, n)
+        return H.einstein_midpoint_segments(head_msgs, alpha * snap.edge_mask, snap.dst, n, c)
+
+    agg_heads = jax.vmap(head_agg, in_axes=(1, 1), out_axes=0)(scores, msgs_ball)  # [H, N, hd]
+    # average heads in tangent space (ref :867-871)
+    avg_tan = jnp.mean(H.log_map_zero(agg_heads, c), axis=0)
+    h_new = H.exp_map_zero(avg_tan, c)
+
+    if "loop_w" in params:
+        loop_ball = H.exp_map_zero(h_tan @ params["loop_w"], c)
+        h_new = H.mobius_add(h_new, loop_ball, c)
+    if prev_h is not None and "skip_w" in params:
+        prev_tan = H.log_map_zero(prev_h, c)
+        t = H.log_map_zero(h_new, c)
+        gate = jax.nn.sigmoid(prev_tan @ params["skip_w"] + params["skip_b"])
+        t = gate * t + (1 - gate) * prev_tan
+        h_new = H.exp_map_zero(t, c)
+
+    t = H.log_map_zero(h_new, c)
+    t = rrelu(t, None, train=False)
+    h_new = H.exp_map_zero(t, c)
+    if train and dropout > 0 and rng is not None:
+        t = H.log_map_zero(h_new, c)
+        t = _dropout(t, dropout, rng, train)
+        h_new = H.exp_map_zero(t, c)
+    return h_new
+
+
+# --------------------------------------------------------------------- cells
+
+ENCODERS = ("hyperbolic_uvrgcn", "fhnn", "lgcn", "hgat")
+
+
+def init_encoder_cell(
+    rng, encoder: str, h_dim: int, num_rels_total: int, n_layers: int,
+    n_bases: int = -1, num_heads: int = 4,
+    self_loop: bool = True, skip_connect: bool = False,
+) -> Params:
+    """Layer stack for any of the 4 encoders (ref cells :480-521, :697-743,
+    :928-975 and HyperbolicRGCNCell)."""
+    keys = jax.random.split(rng, n_layers)
+    layers = []
+    for i in range(n_layers):
+        sc = skip_connect and i > 0
+        if encoder == "hyperbolic_uvrgcn":
+            layers.append(init_hyperbolic_union_layer(keys[i], h_dim, self_loop, sc))
+        elif encoder == "fhnn":
+            layers.append(init_fhnn_layer(keys[i], h_dim, num_rels_total, self_loop))
+        elif encoder == "lgcn":
+            layers.append(init_lgcn_layer(keys[i], h_dim, num_rels_total, n_bases, self_loop, sc))
+        elif encoder == "hgat":
+            layers.append(init_hgat_layer(keys[i], h_dim, num_rels_total, num_heads, self_loop, sc))
+        else:
+            raise ValueError(f"unknown encoder {encoder!r}; known: {ENCODERS}")
+    return {"layers": layers}
+
+
+def encoder_cell(
+    params: Params,
+    encoder: str,
+    h_hyper: jax.Array,
+    rel_emb: jax.Array,
+    snap,
+    c,
+    *,
+    n_bases: int = -1,
+    num_heads: int = 4,
+    radius_gamma: float = 1.0,
+    dropout: float = 0.0,
+    rng=None,
+    train: bool = False,
+) -> jax.Array:
+    x = h_hyper
+    prev = None
+    for i, lp in enumerate(params["layers"]):
+        k = jax.random.fold_in(rng, i) if rng is not None else None
+        kwargs = dict(prev_h=prev if i > 0 else None, dropout=dropout, rng=k, train=train)
+        if encoder == "hyperbolic_uvrgcn":
+            new_x = hyperbolic_union_layer(
+                lp, x, rel_emb, snap, c, radius_gamma=radius_gamma, **kwargs
+            )
+        elif encoder == "fhnn":
+            new_x = fhnn_layer(lp, x, rel_emb, snap, c, **kwargs)
+        elif encoder == "lgcn":
+            # n_bases is recoverable from the weight shape:
+            # cols = nb * (d/nb)^2 = d^2 / nb
+            d = x.shape[1]
+            nb_eff = d * d // lp["weight"].shape[1]
+            new_x = lgcn_layer(lp, x, rel_emb, snap, c, nb_eff, **kwargs)
+        elif encoder == "hgat":
+            new_x = hgat_layer(lp, x, rel_emb, snap, c, num_heads=num_heads, **kwargs)
+        else:
+            raise ValueError(encoder)
+        prev = x
+        x = new_x
+    return x

@@ -31,5 +31,6 @@ def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
     Note: the reference's ``--layer-norm`` flag gates F.normalize, not
     LayerNorm (ref:src/rrgcn.py:151-176).
     """
-    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.maximum(norm, eps)
+    # clamp inside the sqrt so zero rows have finite (zero) gradients
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sq, eps * eps))
