@@ -59,6 +59,24 @@ def log_map_zero(x: jax.Array, c, eps: float = EPS) -> jax.Array:
     return jnp.arctanh(scaled) * x / (sqrt_c * x_norm)
 
 
+def conformal_factor(x: jax.Array, c, keepdims: bool = True) -> jax.Array:
+    """λ_x = 2 / (1 - c ||x||²) — the Poincaré metric conformal factor."""
+    sq = jnp.sum(x * x, axis=-1, keepdims=keepdims)
+    return 2.0 / jnp.maximum(1.0 - c * sq, EPS)
+
+
+def exp_map(v: jax.Array, x: jax.Array, c, eps: float = EPS) -> jax.Array:
+    """Exponential map at point x: exp_x(v) = x ⊕ tanh(√c λ_x ||v||/2) v/(√c||v||).
+
+    Needed by the Riemannian optimizer's retraction (the reference
+    delegates this to geoopt's RiemannianAdam; SURVEY.md §2.3)."""
+    sqrt_c = jnp.sqrt(c)
+    v_norm = _norm(v, eps=eps)
+    lam = conformal_factor(x, c)
+    second = jnp.tanh(sqrt_c * lam * v_norm / 2.0) * v / (sqrt_c * v_norm)
+    return project_to_ball(mobius_add(x, second, c, eps), c, eps)
+
+
 def mobius_add(x: jax.Array, y: jax.Array, c, eps: float = EPS) -> jax.Array:
     """Möbius addition x ⊕_c y (ref :119-143)."""
     x_sq = jnp.sum(x * x, axis=-1, keepdims=True)

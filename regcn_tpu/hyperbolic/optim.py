@@ -1,0 +1,105 @@
+"""Dual Riemannian/Euclidean optimizer.
+
+Parity with the reference's ``_DualOptimizer``
+(ref:hyperbolic_src/hyperbolic_main.py:404-467): manifold parameters (the
+entity table stored ON the Poincaré ball when ``manifold_entities`` is
+enabled) are updated with Riemannian Adam — Euclidean gradient rescaled
+by the inverse squared conformal factor, Adam moments, exp-map retraction
+at the point — while every other parameter uses Adam with coupled weight
+decay (torch parity). Expressed as one ``optax.multi_transform``.
+
+Note: like geoopt's default, momentum parallel transport is approximated
+by identity (the moments live in the coordinate chart); for the small
+curvatures used here (c ≈ 0.01) the correction is far below Adam noise.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from regcn_tpu.hyperbolic import ops as H
+
+MANIFOLD_KEYS = ("dynamic_emb",)
+
+
+class RiemannianAdamState(NamedTuple):
+    count: jax.Array
+    mu: Any
+    nu: Any
+
+
+def riemannian_adam(
+    lr: float, c: float, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8
+) -> optax.GradientTransformation:
+    """Riemannian Adam on the Poincaré ball (updates are full new points).
+
+    Because the retraction is non-linear, this transformation returns
+    ``new_x - x`` as the "update" so it composes with optax's additive
+    ``apply_updates`` contract.
+    """
+
+    def init_fn(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return RiemannianAdamState(count=jnp.zeros((), jnp.int32), mu=zeros, nu=jax.tree.map(jnp.zeros_like, params))
+
+    def update_fn(grads, state, params):
+        assert params is not None, "riemannian_adam requires params"
+        count = state.count + 1
+
+        def rgrad(g, x):
+            lam = H.conformal_factor(x, c)
+            return g / (lam * lam)
+
+        rg = jax.tree.map(rgrad, grads, params)
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, rg)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, rg)
+        mu_hat = jax.tree.map(lambda m: m / (1 - b1**count), mu)
+        nu_hat = jax.tree.map(lambda v: v / (1 - b2**count), nu)
+
+        def step(x, m, v):
+            direction = -lr * m / (jnp.sqrt(v) + eps)
+            new_x = H.exp_map(direction, x, c)
+            return new_x - x  # additive update contract
+
+        updates = jax.tree.map(step, params, mu_hat, nu_hat)
+        return updates, RiemannianAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def dual_optimizer(
+    lr: float,
+    c: float,
+    grad_norm: float = 1.0,
+    weight_decay: float = 1e-5,
+    manifold_entities: bool = False,
+) -> optax.GradientTransformation:
+    """clip-by-global-norm, then RiemannianAdam on manifold leaves and
+    Adam(+coupled wd) on Euclidean leaves (ref :404-488)."""
+    euclidean = optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.adam(lr),
+    )
+    if not manifold_entities:
+        return optax.chain(optax.clip_by_global_norm(grad_norm), euclidean)
+
+    manifold = riemannian_adam(lr, c)
+
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "manifold"
+            if any(getattr(k, "key", None) in MANIFOLD_KEYS for k in path)
+            else "euclidean",
+            params,
+        )
+
+    return optax.chain(
+        optax.clip_by_global_norm(grad_norm),
+        optax.multi_transform(
+            {"manifold": manifold, "euclidean": euclidean}, label_fn
+        ),
+    )

@@ -1,0 +1,382 @@
+"""Hyperbolic training driver.
+
+Parity with ref:hyperbolic_src/hyperbolic_main.py:192-705: degree/
+frequency radius targets, dual Riemannian/Euclidean optimizer, curvature
+warmup scheduling (as a traced scalar — no recompiles), snapshot-inner
+triple mini-batching with gradient accumulation, EST wiring (ETNR
+retrieval + H-PES state threading + TANS masks), early stopping, and the
+fused whole-epoch path for the non-EST configuration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import random
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from regcn_tpu.config import TrainConfig
+from regcn_tpu.data.answers import build_answer_filters_by_time
+from regcn_tpu.data.dataset import TKGData
+from regcn_tpu.data.snapshots import build_history, build_snapshot, pad_triples, split_by_time
+from regcn_tpu.hyperbolic import est as est_mod
+from regcn_tpu.hyperbolic import model as hmodel
+from regcn_tpu.hyperbolic.model import HyperbolicConfig, HypModelState
+from regcn_tpu.hyperbolic.optim import dual_optimizer
+from regcn_tpu.train import metrics
+from regcn_tpu.train.epoch import SnapshotStore, build_snapshot_store, window_snapshot
+
+log = logging.getLogger(__name__)
+
+
+def compute_radius_targets(
+    train_list: List[np.ndarray], num_nodes: int,
+    alpha: float = 0.5, beta: float = 0.5,
+    radius_min: float = 0.5, radius_max: float = 3.0,
+) -> np.ndarray:
+    """Degree/frequency-based radius targets
+    (ref:hyperbolic_main.py:164-184), vectorised with np.unique."""
+    freq = np.zeros(num_nodes, dtype=np.float64)
+    pairs = []
+    for snapshot in train_list:
+        if len(snapshot) == 0:
+            continue
+        src, dst = snapshot[:, 0], snapshot[:, 2]
+        freq += np.bincount(src, minlength=num_nodes)
+        freq += np.bincount(dst, minlength=num_nodes)
+        pairs.append(np.stack([src, dst], 1))
+        pairs.append(np.stack([dst, src], 1))
+    if pairs:
+        uniq = np.unique(np.concatenate(pairs), axis=0)
+        degree_counts = np.bincount(uniq[:, 0], minlength=num_nodes).astype(np.float64)
+    else:
+        degree_counts = np.zeros(num_nodes)
+    score = alpha * np.log1p(degree_counts) + beta * np.log1p(freq)
+    if score.max() - score.min() < 1e-9:
+        normed = np.full_like(score, 0.5)
+    else:
+        normed = (score - score.min()) / (score.max() - score.min())
+    return (radius_min + (radius_max - radius_min) * normed).astype(np.float32)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class HypTrainState:
+    params: Dict
+    opt_state: object
+    model_state: HypModelState
+    est_state: Optional[est_mod.ESTState]
+    rng: jax.Array
+    step: jax.Array
+
+
+class HyperbolicTrainer:
+    def __init__(
+        self,
+        cfg: HyperbolicConfig,
+        tc: TrainConfig,
+        data: TKGData,
+        triple_batch_size: Optional[int] = None,
+        curvature_warmup_epochs: int = 0,
+    ):
+        self.cfg = cfg
+        self.tc = tc
+        self.data = data
+        self.triple_batch_size = triple_batch_size
+        self.curvature_warmup_epochs = curvature_warmup_epochs
+        self.num_rels = data.num_rels
+        self.num_nodes = data.num_nodes
+        self.train_list = split_by_time(data.train)
+        self.valid_list = split_by_time(data.valid)
+        self.test_list = split_by_time(data.test)
+        self.radius_target = compute_radius_targets(
+            self.train_list, data.num_nodes,
+            radius_min=cfg.radius_min, radius_max=cfg.radius_max,
+        )
+
+        self.static_snap = None
+        if cfg.use_static and data.static_triples is not None:
+            n_total = data.num_nodes + data.num_words
+            self.static_snap = build_snapshot(
+                data.static_triples, n_total, data.num_static_rels,
+                edge_bucket=tc.edge_bucket,
+            )
+
+        # EST host-side structures
+        self.temporal_index = None
+        self.true_tails = None
+        if cfg.use_est:
+            self.temporal_index = est_mod.TemporalIndex(cfg.est_history_len)
+            self.temporal_index.build(self.train_list, self.num_rels)
+        if cfg.use_time_aware_negative:
+            self.true_tails = est_mod.build_true_tails_dict(self.train_list, self.num_rels)
+
+        self.opt = dual_optimizer(
+            tc.lr, cfg.c, tc.grad_norm, tc.weight_decay, cfg.manifold_entities
+        )
+
+        self._history_cache: Dict = {}
+        self._store = None
+        self._build_steps()
+
+    # --------------------------------------------------------------- jitted
+    def _build_steps(self):
+        cfg, tc, opt = self.cfg, self.tc, self.opt
+
+        def loss_fn(params, model_state, history, triples, mask, rng,
+                    cmax, est_inputs, tans):
+            loss_ent, losses, new_state, aux = hmodel.get_loss(
+                params, model_state, cfg, history, triples, mask,
+                static_snap=self.static_snap, est_inputs=est_inputs,
+                tans_mask_coo=tans, rng=rng, train=True, curvature_max=cmax,
+            )
+            total = (
+                tc.task_weight * losses["entity"]
+                + (1.0 - tc.task_weight) * losses["relation"]
+                + losses["static"] + losses["radius"]
+            )
+            return total, (losses, new_state, aux)
+
+        def train_step(state: HypTrainState, history, triples, mask, cmax,
+                       rb=None, tans=None):
+            rng, step_rng = jax.random.split(state.rng)
+            est_inputs = (state.est_state, rb) if (cfg.use_est and rb is not None) else None
+            grads, (losses, new_model_state, aux) = jax.grad(loss_fn, has_aux=True)(
+                state.params, state.model_state, history, triples, mask,
+                step_rng, cmax, est_inputs, tans,
+            )
+            updates, new_opt = opt.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_est = state.est_state
+            if cfg.use_est and new_est is not None:
+                # H-PES writeback from the enriched embeddings (ref :650-671)
+                from regcn_tpu.hyperbolic import ops as H
+
+                ctx_tan = H.log_map_zero(aux["pre_emb"][triples[:, 0]], aux["curvature"])
+                new_est = est_mod.update_states(
+                    state.params["est"], new_est, triples[:, 0], mask,
+                    ctx_tan, cfg.est_state_alpha,
+                )
+            return (
+                HypTrainState(params=new_params, opt_state=new_opt,
+                              model_state=new_model_state, est_state=new_est,
+                              rng=rng, step=state.step + 1),
+                losses,
+            )
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0,))
+
+        def predict_step(state: HypTrainState, history, triples, mask, rb=None):
+            est_inputs = (state.est_state, rb) if (cfg.use_est and rb is not None) else None
+            return hmodel.predict(
+                state.params, state.model_state, cfg, history, triples, mask,
+                static_snap=self.static_snap, est_inputs=est_inputs,
+            )
+
+        self.predict_step = jax.jit(predict_step)
+
+        # fused whole-epoch path (non-EST only: EST needs host retrieval)
+        hlen = tc.train_history_len
+
+        def epoch_fn(state: HypTrainState, store: SnapshotStore, order, cmax):
+            def body(st, i):
+                history = window_snapshot(store, i - hlen, hlen)
+                triples = store.triples[i]
+                mask = store.triple_mask[i]
+                return train_step(st, history, triples, mask, cmax)
+
+            return jax.lax.scan(body, state, order)
+
+        if not cfg.use_est:
+            self.epoch_fn = jax.jit(epoch_fn, donate_argnums=(0,))
+        else:
+            self.epoch_fn = None
+
+    # ----------------------------------------------------------------- state
+    def init_state(self, rng: jax.Array) -> HypTrainState:
+        params, model_state = hmodel.init_params(rng, self.cfg, self.radius_target)
+        est_state = (
+            est_mod.init_est_state(self.cfg.num_ents, self.cfg.h_dim)
+            if self.cfg.use_est else None
+        )
+        return HypTrainState(
+            params=params, opt_state=self.opt.init(params),
+            model_state=model_state, est_state=est_state,
+            rng=jax.random.fold_in(rng, 1), step=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------ data
+    def _history(self, snaps, cache_key=None):
+        if cache_key is not None and cache_key in self._history_cache:
+            return self._history_cache[cache_key]
+        h = build_history(list(snaps), self.num_nodes, self.num_rels,
+                          edge_bucket=self.tc.edge_bucket, rc_bucket=self.tc.rc_bucket)
+        if cache_key is not None:
+            self._history_cache[cache_key] = h
+        return h
+
+    def _curvature_max(self, epoch: int) -> float:
+        """Warmup schedule for the curvature upper bound (ref :528-545)."""
+        cfg = self.cfg
+        if not cfg.learn_curvature or self.curvature_warmup_epochs <= 0:
+            return cfg.curvature_max
+        if epoch >= self.curvature_warmup_epochs:
+            return cfg.curvature_max
+        progress = (epoch + 1) / self.curvature_warmup_epochs
+        return cfg.c + (cfg.curvature_max - cfg.c) * progress
+
+    def _retrieval(self, triples, mask, query_time: int):
+        """Host-side ETNR query -> device RetrievalBatch (arrays only)."""
+        if not self.cfg.use_est or self.temporal_index is None:
+            return None
+        nb_e, nb_r, dts, msk = self.temporal_index.query(triples[:, 0], query_time)
+        return est_mod.RetrievalBatch(
+            nb_ents=jnp.asarray(nb_e), nb_rels=jnp.asarray(nb_r),
+            deltas=jnp.asarray(dts), event_mask=jnp.asarray(msk),
+            row_mask=jnp.asarray(mask),
+        )
+
+    # ----------------------------------------------------------------- train
+    def run_epoch(self, state: HypTrainState, epoch: int) -> Tuple[HypTrainState, Dict[str, float]]:
+        tc, cfg = self.tc, self.cfg
+        cmax = jnp.asarray(self._curvature_max(epoch), jnp.float32)
+        sums = {"entity": 0.0, "relation": 0.0, "static": 0.0, "radius": 0.0}
+        n = 0
+
+        use_fused = self.epoch_fn is not None
+        hlen = tc.train_history_len
+        idx = list(range(1, len(self.train_list)))
+        random.Random(tc.seed + epoch).shuffle(idx)
+
+        if use_fused:
+            prefix = [i for i in idx if i < hlen]
+            full = np.asarray([i for i in idx if i >= hlen], dtype=np.int32)
+        else:
+            prefix = idx
+            full = np.asarray([], dtype=np.int32)
+
+        for i in prefix:
+            lo = max(0, i - hlen)
+            history = self._history(self.train_list[lo:i], cache_key=(lo, i))
+            triples, mask = pad_triples(self.train_list[i], self.num_rels, tc.triple_bucket)
+            rb = self._retrieval(triples, mask, i)
+            tans = None
+            if cfg.use_time_aware_negative and self.true_tails is not None:
+                tans = est_mod.tans_mask_coo(triples, mask, self.true_tails)
+                tans = (jnp.asarray(tans[0]), jnp.asarray(tans[1]))
+            if self.triple_batch_size and len(triples) > self.triple_batch_size:
+                # snapshot-inner mini-batching (ref :572-628): here each
+                # chunk takes its own optimizer step — a documented
+                # divergence from the reference's grad accumulation, traded
+                # for static shapes
+                tb = self.triple_batch_size
+                for s in range(0, len(triples), tb):
+                    tr, mk = triples[s:s + tb], mask[s:s + tb]
+                    if mk.sum() == 0:
+                        continue
+                    state, losses = self.train_step(
+                        state, history, jnp.asarray(tr), jnp.asarray(mk), cmax,
+                        rb, tans)
+                    for k in sums:
+                        sums[k] += float(losses[k])
+                    n += 1
+            else:
+                state, losses = self.train_step(
+                    state, history, jnp.asarray(triples), jnp.asarray(mask), cmax,
+                    rb, tans)
+                for k in sums:
+                    sums[k] += float(losses[k])
+                n += 1
+
+        if len(full):
+            if self._store is None:
+                self._store = build_snapshot_store(
+                    self.train_list, self.num_nodes, self.num_rels,
+                    edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
+                    triple_bucket=tc.triple_bucket,
+                )
+            state, loss_stack = self.epoch_fn(state, self._store, jnp.asarray(full), cmax)
+            for k in sums:
+                sums[k] += float(jnp.sum(loss_stack[k]))
+            n += len(full)
+
+        return state, {k: v / max(n, 1) for k, v in sums.items()}
+
+    # ------------------------------------------------------------------ eval
+    def evaluate(self, state, history_list, eval_list, ent_filters=None,
+                 rel_filters=None, time_offset: int = 0):
+        tc = self.tc
+        window = list(history_list[-tc.test_history_len:])
+        ranks = {"ent_raw": [], "ent_filter": [], "rel_raw": [], "rel_filter": []}
+        for t, snap in enumerate(eval_list):
+            history = self._history(window)
+            triples, mask = pad_triples(snap, self.num_rels, tc.triple_bucket)
+            rb = self._retrieval(triples, mask, time_offset + t)
+            s_ob, s_rel = self.predict_step(state, history, jnp.asarray(triples),
+                                            jnp.asarray(mask), rb)
+            s_ob = np.asarray(s_ob, np.float64)
+            s_rel = np.asarray(s_rel, np.float64)
+            valid = mask > 0
+            tq = triples[valid]
+            ranks["ent_raw"].append(metrics.ranks_from_scores(s_ob[valid], tq[:, 2]))
+            ranks["ent_filter"].append(metrics.filtered_ranks(
+                s_ob[valid], tq[:, [0, 1]], tq[:, 2],
+                ent_filters[t] if ent_filters else None))
+            ranks["rel_raw"].append(metrics.ranks_from_scores(s_rel[valid], tq[:, 1]))
+            ranks["rel_filter"].append(metrics.filtered_ranks(
+                s_rel[valid], tq[:, [0, 2]], tq[:, 1],
+                rel_filters[t] if rel_filters else None))
+            window.pop(0)
+            window.append(snap)
+        return {k: metrics.stat_ranks(v) for k, v in ranks.items()}
+
+    # ------------------------------------------------------------------- fit
+    def fit(self, state=None, n_epochs=None, patience: int = 20,
+            checkpoint_path=None):
+        """Training with early stopping (ref :509, :679-681)."""
+        tc = self.tc
+        if state is None:
+            state = self.init_state(jax.random.PRNGKey(tc.seed))
+        n_epochs = n_epochs or tc.n_epochs
+        ent_f = build_answer_filters_by_time(self.data.valid, self.num_rels, False)
+        rel_f = build_answer_filters_by_time(self.data.valid, self.num_rels, True)
+        best_mrr, best_state, bad_epochs = 0.0, state, 0
+        history_rows = []
+        for epoch in range(n_epochs):
+            t0 = time.time()
+            state, losses = self.run_epoch(state, epoch)
+            dt = time.time() - t0
+            stats = self.evaluate(state, self.train_list, self.valid_list,
+                                  ent_f, rel_f, time_offset=len(self.train_list))
+            mrr = stats["ent_raw"].mrr
+            history_rows.append({"epoch": epoch, "losses": losses,
+                                 "valid_mrr_raw": mrr, "epoch_time_s": dt})
+            log.info("epoch %03d | e/r/s/rad %.4f/%.4f/%.4f/%.4f | MRR %.4f | %.1fs",
+                     epoch, losses["entity"], losses["relation"], losses["static"],
+                     losses["radius"], mrr, dt)
+            if mrr > best_mrr:
+                best_mrr, best_state, bad_epochs = mrr, state, 0
+                if checkpoint_path:
+                    from regcn_tpu.train.state import save_checkpoint
+
+                    save_checkpoint(checkpoint_path, state, {"epoch": epoch, "mrr": mrr})
+            else:
+                bad_epochs += 1
+                if bad_epochs >= patience:
+                    log.info("early stop at epoch %d (patience %d)", epoch, patience)
+                    break
+        return best_state, {"best_valid_mrr_raw": best_mrr, "history": history_rows}
+
+    def test(self, state):
+        ent_f = build_answer_filters_by_time(self.data.test, self.num_rels, False)
+        rel_f = build_answer_filters_by_time(self.data.test, self.num_rels, True)
+        return self.evaluate(
+            state, self.train_list + self.valid_list, self.test_list, ent_f, rel_f,
+            time_offset=len(self.train_list) + len(self.valid_list),
+        )

@@ -1,0 +1,144 @@
+"""End-to-end hyperbolic model tests: all encoders x decoders, trainer,
+curvature learning, radius machinery, EST, TANS, Riemannian optimizer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from regcn_tpu.config import TrainConfig
+from regcn_tpu.data import build_history, pad_triples
+from regcn_tpu.data.snapshots import split_by_time
+from regcn_tpu.data.synthetic import generate
+from regcn_tpu.hyperbolic import model as hmodel
+from regcn_tpu.hyperbolic.model import HyperbolicConfig
+from regcn_tpu.hyperbolic.train import HyperbolicTrainer, compute_radius_targets
+
+
+@pytest.fixture(scope="module")
+def tiny_data():
+    return generate("synthetic-small", seed=21, num_ents=60, num_rels=5,
+                    num_snaps=14, triples_per_snap=40, split=(10, 2, 2))
+
+
+def _cfg(data, **kw):
+    base = dict(num_ents=data.num_nodes, num_rels=data.num_rels, h_dim=16,
+                n_layers=2, n_bases=4, dropout=0.0)
+    base.update(kw)
+    return HyperbolicConfig(**base)
+
+
+def _tc():
+    return TrainConfig(edge_bucket=32, rc_bucket=32, triple_bucket=32,
+                       train_history_len=3, test_history_len=3, n_epochs=2,
+                       lr=5e-3)
+
+
+@pytest.fixture(scope="module")
+def batch(tiny_data):
+    tl = split_by_time(tiny_data.train)
+    history = build_history(tl[:3], tiny_data.num_nodes, tiny_data.num_rels,
+                            edge_bucket=32, rc_bucket=32)
+    triples, mask = pad_triples(tl[3], tiny_data.num_rels, 32)
+    return history, jnp.asarray(triples), jnp.asarray(mask)
+
+
+@pytest.mark.parametrize("encoder", hmodel.ENCODERS)
+@pytest.mark.parametrize("decoder", hmodel.DECODERS)
+def test_all_encoder_decoder_combos(tiny_data, batch, encoder, decoder):
+    cfg = _cfg(tiny_data, encoder=encoder, decoder=decoder)
+    params, state = hmodel.init_params(jax.random.PRNGKey(0), cfg)
+    history, triples, mask = batch
+    loss_ent, losses, new_state, aux = hmodel.get_loss(
+        params, state, cfg, history, triples, mask,
+        rng=jax.random.PRNGKey(1), train=True,
+    )
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), f"{encoder}/{decoder} {k} loss not finite"
+    s_ob, s_rel = hmodel.predict(params, state, cfg, history, triples, mask)
+    assert s_ob.shape == (len(triples), cfg.num_ents)
+    assert s_rel.shape == (len(triples), cfg.num_rels_total)
+    assert np.all(np.isfinite(np.asarray(s_ob)))
+
+
+def test_learned_curvature_gets_gradients(tiny_data, batch):
+    cfg = _cfg(tiny_data, learn_curvature=True, decoder="roth")
+    params, state = hmodel.init_params(jax.random.PRNGKey(0), cfg)
+    history, triples, mask = batch
+
+    def loss(p):
+        le, losses, _, _ = hmodel.get_loss(p, state, cfg, history, triples, mask, train=True)
+        return losses["entity"] + losses["relation"]
+
+    grads = jax.grad(loss)(params)
+    assert abs(float(grads["log_c"])) > 0, "curvature gradient is dead"
+
+
+def test_radius_supervision_pulls_static_radius(tiny_data, batch):
+    cfg = _cfg(tiny_data)
+    rt = compute_radius_targets(split_by_time(tiny_data.train), tiny_data.num_nodes)
+    assert rt.shape == (tiny_data.num_nodes,)
+    assert rt.min() >= cfg.radius_min - 1e-6 and rt.max() <= cfg.radius_max + 1e-6
+    params, state = hmodel.init_params(jax.random.PRNGKey(0), cfg, radius_target=rt)
+    history, triples, mask = batch
+    # perturb radius_static away from the target: loss_radius must be > 0
+    params["radius_static"] = params["radius_static"] + 0.5
+    _, losses, _, _ = hmodel.get_loss(params, state, cfg, history, triples, mask, train=True)
+    assert float(losses["radius"]) > 0
+
+    def rloss(p):
+        _, ls, _, _ = hmodel.get_loss(p, state, cfg, history, triples, mask, train=True)
+        return ls["radius"]
+
+    g = jax.grad(rloss)(params)
+    assert float(jnp.sum(jnp.abs(g["radius_static"]))) > 0
+
+
+def test_hyperbolic_trainer_loss_decreases(tiny_data):
+    cfg = _cfg(tiny_data, decoder="hyperbolic_convtranse")
+    trainer = HyperbolicTrainer(cfg, _tc(), tiny_data)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state, l0 = trainer.run_epoch(state, 0)
+    for e in range(1, 4):
+        state, losses = trainer.run_epoch(state, e)
+    assert losses["entity"] < l0["entity"]
+    stats = trainer.evaluate(state, trainer.train_list, trainer.valid_list)
+    assert 0 < stats["ent_raw"].mrr <= 1
+
+
+def test_trainer_with_est_and_tans(tiny_data):
+    cfg = _cfg(tiny_data, use_est=True, use_time_aware_negative=True,
+               est_history_len=8)
+    trainer = HyperbolicTrainer(cfg, _tc(), tiny_data)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    slow_before = np.asarray(state.est_state.slow).copy()
+    state, losses = trainer.run_epoch(state, 0)
+    assert np.isfinite(losses["entity"])
+    # H-PES slow state must have been written back
+    assert not np.allclose(np.asarray(state.est_state.slow), slow_before)
+    stats = trainer.evaluate(state, trainer.train_list, trainer.valid_list)
+    assert np.isfinite(stats["ent_raw"].mrr)
+
+
+def test_trainer_est_transformer_backbone(tiny_data):
+    cfg = _cfg(tiny_data, use_est=True, est_encoder="transformer", est_history_len=8)
+    trainer = HyperbolicTrainer(cfg, _tc(), tiny_data)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state, losses = trainer.run_epoch(state, 0)
+    assert np.isfinite(losses["entity"])
+
+
+def test_manifold_entities_riemannian_updates_stay_on_ball(tiny_data):
+    cfg = _cfg(tiny_data, manifold_entities=True, decoder="roth")
+    trainer = HyperbolicTrainer(cfg, _tc(), tiny_data)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state, _ = trainer.run_epoch(state, 0)
+    norms = np.linalg.norm(np.asarray(state.params["dynamic_emb"]), axis=-1)
+    assert np.all(norms < 1.0 / np.sqrt(cfg.c)), "entities left the ball"
+
+
+def test_curvature_warmup_schedule(tiny_data):
+    cfg = _cfg(tiny_data, learn_curvature=True)
+    trainer = HyperbolicTrainer(cfg, _tc(), tiny_data, curvature_warmup_epochs=4)
+    assert trainer._curvature_max(0) < trainer._curvature_max(3)
+    assert trainer._curvature_max(10) == cfg.curvature_max
