@@ -116,10 +116,34 @@ def build_snapshot(
     rc_pad: int | None = None,
     edge_bucket: int = 1024,
     rc_bucket: int = 1024,
+    use_native: bool | None = None,
 ) -> Snapshot:
-    """Build a padded flat-array snapshot graph from [n,3] (s,r,o) triples."""
+    """Build a padded flat-array snapshot graph from [n,3] (s,r,o) triples.
+
+    When the C++ extension (native/graph_builder.cc) is compiled, the hot
+    host loop runs natively; ``use_native=False`` forces the numpy path
+    (the two are bit-identical — tests/test_native.py).
+    """
     triples = np.asarray(triples)[:, :3].astype(np.int64)
     n = len(triples)
+
+    if use_native is not False:
+        from regcn_tpu import native as _native
+
+        if _native.load() is not None:
+            E = edge_pad if edge_pad is not None else _round_up(2 * n, edge_bucket)
+            M = rc_pad if rc_pad is not None else _round_up(4 * n, rc_bucket)
+            (src, dst, rel, emask, norm, has_in, rc_r, rc_e, rc_m, e, nn) = (
+                _native.build_snapshot_arrays(triples, num_nodes, num_rels, E, M)
+            )
+            return Snapshot(
+                src=src, dst=dst, rel=rel, edge_mask=emask,
+                in_deg_norm=norm, has_in_edge=has_in,
+                rc_rel=rc_r, rc_ent=rc_e, rc_mask=rc_m,
+                num_edges=int(e), num_triples=int(nn),
+            )
+        if use_native is True:
+            raise RuntimeError("native graph builder requested but not built")
     s, r, o = triples[:, 0], triples[:, 1], triples[:, 2]
 
     src = np.concatenate([s, o]).astype(np.int32)

@@ -1,0 +1,64 @@
+"""Native (C++) host-runtime components.
+
+``_graph_builder`` is compiled from ``native/graph_builder.cc`` (run
+``make -C native``, or :func:`ensure_built` compiles it on demand with
+g++). The data layer uses it automatically when present; everything
+falls back to the pure-numpy implementation otherwise.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import subprocess
+import sys
+
+log = logging.getLogger(__name__)
+
+_native = None
+_tried = False
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def ensure_built(quiet: bool = True) -> bool:
+    """Compile the extension in-tree if g++ is available. Returns success."""
+    global _tried
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.join(_repo_root(), "native")],
+            check=True, capture_output=quiet,
+        )
+        _tried = False  # allow re-import attempt
+        return load() is not None
+    except (subprocess.CalledProcessError, FileNotFoundError) as exc:
+        log.debug("native build failed: %s", exc)
+        return False
+
+
+def load():
+    """Import the compiled module if present; None otherwise."""
+    global _native, _tried
+    if _native is not None or _tried:
+        return _native
+    _tried = True
+    try:
+        from regcn_tpu.native import _graph_builder  # type: ignore
+
+        _native = _graph_builder
+    except ImportError:
+        _native = None
+    return _native
+
+
+def build_snapshot_arrays(triples, num_nodes, num_rels, edge_pad, rc_pad):
+    """Native fast path; raises RuntimeError if the extension is absent."""
+    mod = load()
+    if mod is None:
+        raise RuntimeError(
+            "native graph builder not built; run `make -C native` or use the "
+            "numpy path"
+        )
+    return mod.build_snapshot_arrays(triples, num_nodes, num_rels, edge_pad, rc_pad)
