@@ -35,7 +35,8 @@ HP_RANGE = {
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="regcn_tpu", description="TPU-native RE-GCN")
-    p.add_argument("mode", choices=["train", "test", "grid", "bench"])
+    p.add_argument("mode", choices=["train", "test", "grid", "bench",
+                                    "hyperbolic", "hisres"])
     p.add_argument("-d", "--dataset", required=True)
     p.add_argument("--data-dir", default="data")
     p.add_argument("--checkpoint", default=None)
@@ -82,7 +83,133 @@ def build_parser() -> argparse.ArgumentParser:
     # misc
     p.add_argument("--run-analysis", action="store_true", default=False)
     p.add_argument("--impl", default="xla", choices=["xla", "pallas"])
+
+    # hyperbolic model flags (parity: ref hyperbolic_main.py:708-845)
+    hp = p.add_argument_group("hyperbolic")
+    hp.add_argument("--curvature", type=float, default=0.01)
+    hp.add_argument("--learn-curvature", action="store_true", default=False)
+    hp.add_argument("--curvature-min", type=float, default=1e-4)
+    hp.add_argument("--curvature-max", type=float, default=1e-1)
+    hp.add_argument("--curvature-warmup-epochs", type=int, default=0)
+    hp.add_argument("--manifold-entities", action="store_true", default=False,
+                    help="store entities on the ball + Riemannian Adam")
+    hp.add_argument("--use-residual-evolution", action="store_true", default=True)
+    hp.add_argument("--radius-lambda", type=float, default=0.02)
+    hp.add_argument("--radius-min", type=float, default=0.5)
+    hp.add_argument("--radius-max", type=float, default=3.0)
+    hp.add_argument("--radius-epsilon", type=float, default=0.1)
+    hp.add_argument("--radius-anchor-beta", type=float, default=1.0)
+    hp.add_argument("--radius-msg-gamma", type=float, default=1.0)
+    hp.add_argument("--num-heads", type=int, default=4, help="HGAT heads")
+    hp.add_argument("--hyp-init-scale", type=float, default=1e-3)
+    hp.add_argument("--use-entity-euclidean-bias", action="store_true", default=False)
+    hp.add_argument("--use-relation-specific-curvature", action="store_true", default=False)
+    hp.add_argument("--triple-batch-size", type=int, default=None)
+    hp.add_argument("--patience", type=int, default=20)
+    # EST
+    hp.add_argument("--use-est", action="store_true", default=False)
+    hp.add_argument("--est-state-alpha", type=float, default=0.2)
+    hp.add_argument("--est-encoder", default="gru", choices=["gru", "transformer"])
+    hp.add_argument("--est-history-len", type=int, default=32)
+    hp.add_argument("--use-time-aware-negative", action="store_true", default=False)
+
+    # hisres flags (parity: ref hisres_main.py:422-537)
+    hr = p.add_argument_group("hisres")
+    hr.add_argument("--history-rate", type=float, default=0.3)
     return p
+
+
+def run_hyperbolic(args) -> dict:
+    from regcn_tpu.config import TrainConfig
+    from regcn_tpu.data import load_data
+    from regcn_tpu.hyperbolic.model import HyperbolicConfig
+    from regcn_tpu.hyperbolic.train import HyperbolicTrainer
+
+    data = load_data(args.dataset, args.data_dir, load_static=args.add_static_graph)
+    encoder = args.encoder if args.encoder != "uvrgcn" else "hyperbolic_uvrgcn"
+    decoder = args.decoder if args.decoder != "convtranse" else "hyperbolic_convtranse"
+    cfg = HyperbolicConfig(
+        num_ents=data.num_nodes, num_rels=data.num_rels, h_dim=args.n_hidden,
+        n_layers=args.n_layers, encoder=encoder, decoder=decoder,
+        dropout=args.dropout, input_dropout=args.input_dropout,
+        hidden_dropout=args.hidden_dropout, feat_dropout=args.feat_dropout,
+        self_loop=args.self_loop, skip_connect=args.skip_connect,
+        layer_norm=args.layer_norm, use_static=args.add_static_graph,
+        num_static_rels=data.num_static_rels, num_words=data.num_words,
+        n_bases=args.n_bases, static_weight=args.weight,
+        discount=args.discount, angle=args.angle,
+        c=args.curvature, learn_curvature=args.learn_curvature,
+        curvature_min=args.curvature_min, curvature_max=args.curvature_max,
+        manifold_entities=args.manifold_entities,
+        use_residual_evolution=args.use_residual_evolution,
+        radius_lambda=args.radius_lambda, radius_min=args.radius_min,
+        radius_max=args.radius_max, radius_epsilon=args.radius_epsilon,
+        radius_anchor_beta=args.radius_anchor_beta,
+        radius_msg_gamma=args.radius_msg_gamma, num_heads=args.num_heads,
+        hyp_init_scale=args.hyp_init_scale,
+        use_entity_bias=args.use_entity_euclidean_bias,
+        use_rel_curvature=args.use_relation_specific_curvature,
+        use_est=args.use_est, est_state_alpha=args.est_state_alpha,
+        est_encoder=args.est_encoder, est_history_len=args.est_history_len,
+        use_time_aware_negative=args.use_time_aware_negative,
+    )
+    tc = TrainConfig(
+        lr=args.lr, grad_norm=args.grad_norm, n_epochs=args.n_epochs,
+        evaluate_every=args.evaluate_every, task_weight=args.task_weight,
+        train_history_len=args.train_history_len,
+        test_history_len=args.test_history_len, seed=args.seed,
+    )
+    trainer = HyperbolicTrainer(
+        cfg, tc, data, triple_batch_size=args.triple_batch_size,
+        curvature_warmup_epochs=args.curvature_warmup_epochs,
+    )
+    ckpt = args.checkpoint or os.path.join(args.models_dir, "hyp-" + model_name(args))
+    best, info = trainer.fit(patience=args.patience, checkpoint_path=ckpt)
+    logging.info("best valid MRR (raw): %.4f", info["best_valid_mrr_raw"])
+    stats = trainer.test(best)
+    result = {
+        k: {"mrr": s.mrr, **{f"hits@{h}": v for h, v in s.hits.items()}}
+        for k, s in stats.items()
+    }
+    print(json.dumps(result, indent=2))
+    return result
+
+
+def run_hisres(args) -> dict:
+    from regcn_tpu.config import TrainConfig
+    from regcn_tpu.data import load_data
+    from regcn_tpu.hisres.model import HisResConfig
+    from regcn_tpu.hisres.train import HisResTrainer
+
+    data = load_data(args.dataset, args.data_dir, load_static=args.add_static_graph)
+    cfg = HisResConfig(
+        num_ents=data.num_nodes, num_rels=data.num_rels, h_dim=args.n_hidden,
+        n_layers=args.n_layers, history_rate=args.history_rate,
+        dropout=args.dropout, input_dropout=args.input_dropout,
+        hidden_dropout=args.hidden_dropout, feat_dropout=args.feat_dropout,
+        self_loop=args.self_loop, skip_connect=args.skip_connect,
+        layer_norm=args.layer_norm, use_static=args.add_static_graph,
+        num_static_rels=data.num_static_rels, num_words=data.num_words,
+        n_bases=args.n_bases, static_weight=args.weight,
+        discount=args.discount, angle=args.angle,
+    )
+    tc = TrainConfig(
+        lr=args.lr, grad_norm=args.grad_norm, n_epochs=args.n_epochs,
+        task_weight=args.task_weight,
+        train_history_len=args.train_history_len,
+        test_history_len=args.test_history_len, seed=args.seed,
+    )
+    trainer = HisResTrainer(cfg, tc, data)
+    ckpt = args.checkpoint or os.path.join(args.models_dir, "hisres-" + model_name(args))
+    best, info = trainer.fit(checkpoint_path=ckpt)
+    logging.info("best valid MRR (raw): %.4f", info["best_valid_mrr_raw"])
+    stats = trainer.test(best)
+    result = {
+        k: {"mrr": s.mrr, **{f"hits@{h}": v for h, v in s.hits.items()}}
+        for k, s in stats.items()
+    }
+    print(json.dumps(result, indent=2))
+    return result
 
 
 def make_experiment(args, data):
@@ -200,6 +327,10 @@ def main(argv=None):
         import bench
 
         return bench.main()
+    if args.mode == "hyperbolic":
+        return run_hyperbolic(args)
+    if args.mode == "hisres":
+        return run_hisres(args)
     return run_single(args)
 
 
