@@ -24,6 +24,9 @@ import numpy as np
 
 
 def main():
+    from regcn_tpu.utils.prng import use_fast_prng
+
+    use_fast_prng()
     from regcn_tpu.config import ExperimentConfig, ModelConfig, TrainConfig
     from regcn_tpu.data.synthetic import generate
     from regcn_tpu.train.loop import Trainer

@@ -250,6 +250,7 @@ def make_experiment(args, data):
         task_weight=args.task_weight,
         train_history_len=args.train_history_len,
         test_history_len=args.test_history_len,
+        dilate_len=args.dilate_len,
         seed=args.seed,
     )
     return ExperimentConfig(model=model, train=train, data=DataConfig(dataset=args.dataset))
@@ -319,6 +320,9 @@ def run_grid(args):
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    from regcn_tpu.utils.prng import use_fast_prng
+
+    use_fast_prng()
     args = build_parser().parse_args(argv)
     if args.mode == "grid":
         args.mode = "train"

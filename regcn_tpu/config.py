@@ -59,6 +59,7 @@ class TrainConfig:
     task_weight: float = 0.7  # entity vs relation loss (ref:src/main.py:236)
     train_history_len: int = 3
     test_history_len: int = 3
+    dilate_len: int = 1  # merge every k consecutive snapshots (ref --dilate-len)
     seed: int = 2023
     # padding buckets: edge counts are rounded up to a multiple of this so
     # jit recompiles stay bounded (the reference never needed this because

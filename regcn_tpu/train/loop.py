@@ -78,6 +78,10 @@ class Trainer:
         self.train_list = split_by_time(data.train)
         self.valid_list = split_by_time(data.valid)
         self.test_list = split_by_time(data.test)
+        if cfg.train.dilate_len > 1:
+            from regcn_tpu.data.snapshots import dilate_snapshots
+
+            self.train_list = dilate_snapshots(self.train_list, cfg.train.dilate_len)
 
         self.static_snap = None
         if cfg.model.use_static and data.static_triples is not None:

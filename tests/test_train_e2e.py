@@ -73,3 +73,26 @@ def test_multi_step_inference_runs(tiny_experiment):
         state, trainer.train_list, trainer.valid_list, multi_step=True, topk=5
     )
     assert np.isfinite(stats["ent_raw"].mrr)
+
+
+def test_skip_connect_and_dilate(tiny_experiment):
+    """skip-connect layers + dilated history train to finite losses."""
+    import jax as _jax
+    from regcn_tpu.config import DataConfig, ExperimentConfig, ModelConfig, TrainConfig
+    from regcn_tpu.data.synthetic import generate as _gen
+    from regcn_tpu.train.loop import Trainer as _Trainer
+
+    data = _gen("synthetic-small", seed=17, num_ents=60, num_rels=6,
+                num_snaps=16, triples_per_snap=40, split=(12, 2, 2))
+    cfg = ExperimentConfig(
+        model=ModelConfig(num_ents=data.num_nodes, num_rels=data.num_rels,
+                          h_dim=16, n_layers=2, skip_connect=True),
+        train=TrainConfig(n_epochs=1, edge_bucket=64, rc_bucket=64,
+                          triple_bucket=64, dilate_len=2),
+        data=DataConfig(),
+    )
+    tr = _Trainer(cfg, data)
+    assert len(tr.train_list) == 6  # 12 snapshots dilated by 2
+    st = create_train_state(_jax.random.PRNGKey(0), cfg.model, cfg.train)
+    st, losses = tr.run_epoch_fused(st, 0)
+    assert np.isfinite(losses["entity"])
