@@ -136,6 +136,20 @@ class Trainer:
 
         self.predict_step = jax.jit(predict_step)
 
+        def rank_step(state, history, triples, mask, ent_rows, ent_cols,
+                      rel_rows, rel_cols):
+            """Eval ranks computed ON DEVICE: only [B] vectors go to host
+            (the [B, N] score matrices never cross the host boundary)."""
+            s_ob, s_rel = predict_step(state, history, triples, mask)
+            return (
+                metrics.device_ranks(s_ob, triples[:, 2]),
+                metrics.device_filtered_ranks(s_ob, triples[:, 2], ent_rows, ent_cols),
+                metrics.device_ranks(s_rel, triples[:, 1]),
+                metrics.device_filtered_ranks(s_rel, triples[:, 1], rel_rows, rel_cols),
+            )
+
+        self.rank_step = jax.jit(rank_step)
+
         self._store = None
         self._epoch_fn = None
 
@@ -245,37 +259,42 @@ class Trainer:
         for t, snap in enumerate(eval_list):
             history = self._history(window)
             triples, mask = pad_triples(snap, self.num_rels, tc.triple_bucket)
-            scores_ob, scores_rel = self.predict_step(state, history, triples, mask)
-            scores_ob = np.asarray(scores_ob, np.float64)
-            scores_rel = np.asarray(scores_rel, np.float64)
             valid = mask > 0
-            tq, s_ob, s_rel = triples[valid], scores_ob[valid], scores_rel[valid]
-
-            tgt_e = tq[:, 2]
-            ranks["ent_raw"].append(metrics.ranks_from_scores(s_ob, tgt_e))
-            ranks["ent_filter"].append(
-                metrics.filtered_ranks(
-                    s_ob, tq[:, [0, 1]], tgt_e,
-                    ent_filters[t] if ent_filters else None,
-                )
-            )
-            tgt_r = tq[:, 1]
-            ranks["rel_raw"].append(metrics.ranks_from_scores(s_rel, tgt_r))
-            ranks["rel_filter"].append(
-                metrics.filtered_ranks(
-                    s_rel, tq[:, [0, 2]], tgt_r,
-                    rel_filters[t] if rel_filters else None,
-                )
-            )
+            tq = triples[valid]
 
             if multi_step:
+                # multi-step needs the dense entity scores on host
+                scores_ob, scores_rel = self.predict_step(state, history, triples, mask)
+                s_ob = np.asarray(scores_ob, np.float64)[valid]
+                s_rel = np.asarray(scores_rel, np.float64)[valid]
+                ranks["ent_raw"].append(metrics.ranks_from_scores(s_ob, tq[:, 2]))
+                ranks["ent_filter"].append(metrics.filtered_ranks(
+                    s_ob, tq[:, [0, 1]], tq[:, 2],
+                    ent_filters[t] if ent_filters else None))
+                ranks["rel_raw"].append(metrics.ranks_from_scores(s_rel, tq[:, 1]))
+                ranks["rel_filter"].append(metrics.filtered_ranks(
+                    s_rel, tq[:, [0, 2]], tq[:, 1],
+                    rel_filters[t] if rel_filters else None))
                 pred = construct_snap(tq, self.num_rels, s_ob, topk)
                 if len(pred):
                     window.pop(0)
                     window.append(pred)
-            else:
-                window.pop(0)
-                window.append(snap)
+                continue
+
+            er, ec = metrics.filter_coo_padded(
+                ent_filters[t] if ent_filters else None, triples[:, [0, 1]], triples[:, 2])
+            rr, rc = metrics.filter_coo_padded(
+                rel_filters[t] if rel_filters else None, triples[:, [0, 2]], triples[:, 1])
+            r1, r2, r3, r4 = self.rank_step(
+                state, history, triples, mask,
+                jnp.asarray(er), jnp.asarray(ec), jnp.asarray(rr), jnp.asarray(rc))
+            ranks["ent_raw"].append(np.asarray(r1)[valid])
+            ranks["ent_filter"].append(np.asarray(r2)[valid])
+            ranks["rel_raw"].append(np.asarray(r3)[valid])
+            ranks["rel_filter"].append(np.asarray(r4)[valid])
+
+            window.pop(0)
+            window.append(snap)
         return {k: metrics.stat_ranks(v) for k, v in ranks.items()}
 
     # ------------------------------------------------------------------- fit

@@ -45,6 +45,39 @@ def filtered_ranks(
     return ranks_from_scores(scores, targets)
 
 
+def device_ranks(scores, targets):
+    """[B] ranks on device: 1 + #(strictly greater). jnp arrays in/out."""
+    import jax.numpy as jnp
+
+    tgt = jnp.take_along_axis(scores, targets[:, None], axis=1)
+    return 1 + jnp.sum((scores > tgt).astype(jnp.int32), axis=1)
+
+
+def device_filtered_ranks(scores, targets, mask_rows, mask_cols):
+    """Filtered ranks on device; (mask_rows, mask_cols) is a padded COO of
+    entries to squash (padding rows out-of-range -> dropped)."""
+    import jax.numpy as jnp
+
+    filtered = scores.at[mask_rows, mask_cols].set(FILTER_VALUE, mode="drop")
+    return device_ranks(filtered, targets)
+
+
+def filter_coo_padded(answer_filter, queries, targets, bucket: int = 4096):
+    """Host-side padded COO for device filtering; pad rows = B (dropped)."""
+    B = len(queries)
+    if answer_filter is None:
+        rows = np.full(bucket, B, np.int64)
+        return rows, np.zeros(bucket, np.int64)
+    rows, cols = answer_filter.mask_coo(queries, targets)
+    n = len(rows)
+    padded = max(((n + bucket - 1) // bucket) * bucket, bucket)
+    out_r = np.full(padded, B, np.int64)
+    out_c = np.zeros(padded, np.int64)
+    out_r[:n] = rows
+    out_c[:n] = cols
+    return out_r, out_c
+
+
 @dataclasses.dataclass
 class RankStats:
     mrr: float
