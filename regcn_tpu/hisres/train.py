@@ -130,6 +130,22 @@ class HisResTrainer:
 
         self.predict_step = jax.jit(predict_step)
 
+        def rank_step(state, history, history_gg, triples, inv_triples, mask,
+                      hg_raw, hg_inv, rel_vocab, ent_rows, ent_cols,
+                      rel_rows, rel_cols):
+            """On-device raw+filtered ranks over the stacked [2B] queries."""
+            s_ent, s_rel = predict_step(state, history, history_gg, triples,
+                                        inv_triples, mask, hg_raw, hg_inv, rel_vocab)
+            allq = jnp.concatenate([triples, inv_triples])
+            return (
+                metrics.device_ranks(s_ent, allq[:, 2]),
+                metrics.device_filtered_ranks(s_ent, allq[:, 2], ent_rows, ent_cols),
+                metrics.device_ranks(s_rel, allq[:, 1]),
+                metrics.device_filtered_ranks(s_rel, allq[:, 1], rel_rows, rel_cols),
+            )
+
+        self.rank_step = jax.jit(rank_step)
+
     def init_state(self, rng: jax.Array) -> HisResTrainState:
         params, model_state = hmodel.init_params(rng, self.cfg)
         return HisResTrainState(
@@ -204,22 +220,21 @@ class HisResTrainer:
             history = self._history(window)
             history_gg = self._history(union_snapshots(window))
             raw, inv, mask, hg_raw, hg_inv, rel_vocab = self._batch(snap, time_offset + t)
-            s_ent, s_rel = self.predict_step(
-                state, history, history_gg, raw, inv, mask, hg_raw, hg_inv, rel_vocab)
-            s_ent = np.asarray(s_ent, np.float64)
-            s_rel = np.asarray(s_rel, np.float64)
             mask_np = np.asarray(mask)
             allq = np.concatenate([np.asarray(raw), np.asarray(inv)])
             allm = np.concatenate([mask_np, mask_np]) > 0
-            tq = allq[allm]
-            se = s_ent[allm]
-            sr = s_rel[allm]
-            ranks["ent_raw"].append(metrics.ranks_from_scores(se, tq[:, 2]))
-            ranks["ent_filter"].append(metrics.filtered_ranks(
-                se, tq[:, [0, 1]], tq[:, 2], ent_filters[t] if ent_filters else None))
-            ranks["rel_raw"].append(metrics.ranks_from_scores(sr, tq[:, 1]))
-            ranks["rel_filter"].append(metrics.filtered_ranks(
-                sr, tq[:, [0, 2]], tq[:, 1], rel_filters[t] if rel_filters else None))
+            er, ec = metrics.filter_coo_padded(
+                ent_filters[t] if ent_filters else None, allq[:, [0, 1]], allq[:, 2])
+            rr, rc = metrics.filter_coo_padded(
+                rel_filters[t] if rel_filters else None, allq[:, [0, 2]], allq[:, 1])
+            r1, r2, r3, r4 = self.rank_step(
+                state, history, history_gg, raw, inv, mask, hg_raw, hg_inv,
+                rel_vocab, jnp.asarray(er), jnp.asarray(ec),
+                jnp.asarray(rr), jnp.asarray(rc))
+            ranks["ent_raw"].append(np.asarray(r1)[allm])
+            ranks["ent_filter"].append(np.asarray(r2)[allm])
+            ranks["rel_raw"].append(np.asarray(r3)[allm])
+            ranks["rel_filter"].append(np.asarray(r4)[allm])
             window.pop(0)
             window.append(snap)
         return {k: metrics.stat_ranks(v) for k, v in ranks.items()}

@@ -181,6 +181,19 @@ class HyperbolicTrainer:
 
         self.predict_step = jax.jit(predict_step)
 
+        def rank_step(state, history, triples, mask, ent_rows, ent_cols,
+                      rel_rows, rel_cols, rb=None):
+            """On-device raw+filtered ranks (only [B] vectors leave)."""
+            s_ob, s_rel = predict_step(state, history, triples, mask, rb)
+            return (
+                metrics.device_ranks(s_ob, triples[:, 2]),
+                metrics.device_filtered_ranks(s_ob, triples[:, 2], ent_rows, ent_cols),
+                metrics.device_ranks(s_rel, triples[:, 1]),
+                metrics.device_filtered_ranks(s_rel, triples[:, 1], rel_rows, rel_cols),
+            )
+
+        self.rank_step = jax.jit(rank_step)
+
         # fused whole-epoch path (non-EST only: EST needs host retrieval)
         hlen = tc.train_history_len
 
@@ -318,20 +331,18 @@ class HyperbolicTrainer:
             history = self._history(window)
             triples, mask = pad_triples(snap, self.num_rels, tc.triple_bucket)
             rb = self._retrieval(triples, mask, time_offset + t)
-            s_ob, s_rel = self.predict_step(state, history, jnp.asarray(triples),
-                                            jnp.asarray(mask), rb)
-            s_ob = np.asarray(s_ob, np.float64)
-            s_rel = np.asarray(s_rel, np.float64)
             valid = mask > 0
-            tq = triples[valid]
-            ranks["ent_raw"].append(metrics.ranks_from_scores(s_ob[valid], tq[:, 2]))
-            ranks["ent_filter"].append(metrics.filtered_ranks(
-                s_ob[valid], tq[:, [0, 1]], tq[:, 2],
-                ent_filters[t] if ent_filters else None))
-            ranks["rel_raw"].append(metrics.ranks_from_scores(s_rel[valid], tq[:, 1]))
-            ranks["rel_filter"].append(metrics.filtered_ranks(
-                s_rel[valid], tq[:, [0, 2]], tq[:, 1],
-                rel_filters[t] if rel_filters else None))
+            er, ec = metrics.filter_coo_padded(
+                ent_filters[t] if ent_filters else None, triples[:, [0, 1]], triples[:, 2])
+            rr, rc = metrics.filter_coo_padded(
+                rel_filters[t] if rel_filters else None, triples[:, [0, 2]], triples[:, 1])
+            r1, r2, r3, r4 = self.rank_step(
+                state, history, jnp.asarray(triples), jnp.asarray(mask),
+                jnp.asarray(er), jnp.asarray(ec), jnp.asarray(rr), jnp.asarray(rc), rb)
+            ranks["ent_raw"].append(np.asarray(r1)[valid])
+            ranks["ent_filter"].append(np.asarray(r2)[valid])
+            ranks["rel_raw"].append(np.asarray(r3)[valid])
+            ranks["rel_filter"].append(np.asarray(r4)[valid])
             window.pop(0)
             window.append(snap)
         return {k: metrics.stat_ranks(v) for k, v in ranks.items()}
