@@ -323,7 +323,8 @@ class HyperbolicTrainer:
 
     # ------------------------------------------------------------------ eval
     def evaluate(self, state, history_list, eval_list, ent_filters=None,
-                 rel_filters=None, time_offset: int = 0):
+                 rel_filters=None, time_offset: int = 0,
+                 multi_step: bool = False, topk: int = 10):
         tc = self.tc
         window = list(history_list[-tc.test_history_len:])
         ranks = {"ent_raw": [], "ent_filter": [], "rel_raw": [], "rel_filter": []}
@@ -332,6 +333,30 @@ class HyperbolicTrainer:
             triples, mask = pad_triples(snap, self.num_rels, tc.triple_bucket)
             rb = self._retrieval(triples, mask, time_offset + t)
             valid = mask > 0
+            if multi_step:
+                # feed top-k predictions back into the window (ref baseline
+                # multi-step; needs the dense scores on host)
+                from regcn_tpu.train.loop import construct_snap
+                from regcn_tpu.train import metrics as _m
+
+                s_ob, s_rel = self.predict_step(
+                    state, history, jnp.asarray(triples), jnp.asarray(mask), rb)
+                s_ob = np.asarray(s_ob, np.float64)[valid]
+                s_rel = np.asarray(s_rel, np.float64)[valid]
+                tq = triples[valid]
+                ranks["ent_raw"].append(_m.ranks_from_scores(s_ob, tq[:, 2]))
+                ranks["ent_filter"].append(_m.filtered_ranks(
+                    s_ob, tq[:, [0, 1]], tq[:, 2],
+                    ent_filters[t] if ent_filters else None))
+                ranks["rel_raw"].append(_m.ranks_from_scores(s_rel, tq[:, 1]))
+                ranks["rel_filter"].append(_m.filtered_ranks(
+                    s_rel, tq[:, [0, 2]], tq[:, 1],
+                    rel_filters[t] if rel_filters else None))
+                pred = construct_snap(tq, self.num_rels, s_ob, topk)
+                if len(pred):
+                    window.pop(0)
+                    window.append(pred)
+                continue
             er, ec = metrics.filter_coo_padded(
                 ent_filters[t] if ent_filters else None, triples[:, [0, 1]], triples[:, 2])
             rr, rc = metrics.filter_coo_padded(

@@ -120,12 +120,32 @@ def test_trainer_with_est_and_tans(tiny_data):
     assert np.isfinite(stats["ent_raw"].mrr)
 
 
-def test_trainer_est_transformer_backbone(tiny_data):
+def test_est_transformer_backbone(tiny_data):
+    """QCHHE transformer backbone directly (cheaper than a full trainer
+    compile; the GRU backbone is covered end-to-end above)."""
+    from regcn_tpu.hyperbolic import est, ops as H
+
     cfg = _cfg(tiny_data, use_est=True, est_encoder="transformer", est_history_len=8)
-    trainer = HyperbolicTrainer(cfg, _tc(), tiny_data)
-    state = trainer.init_state(jax.random.PRNGKey(0))
-    state, losses = trainer.run_epoch(state, 0)
-    assert np.isfinite(losses["entity"])
+    params = est.init_est_params(jax.random.PRNGKey(0), cfg)
+    B, K, d = 6, 8, cfg.h_dim
+    key = jax.random.PRNGKey(1)
+    nb = H.exp_map_zero(0.1 * jax.random.normal(key, (B, K, d)), cfg.c)
+    rl = H.exp_map_zero(0.1 * jax.random.normal(key, (B, K, d)), cfg.c)
+    tm = H.exp_map_zero(0.1 * jax.random.normal(key, (B, K, d)), cfg.c)
+    q = 0.1 * jax.random.normal(key, (B, d))
+    mask = jnp.asarray(np.tri(B, K, 2, dtype=np.float32))  # varied valid counts
+    ctx = est.history_encoder(params, cfg, nb, rl, tm, q, mask, cfg.c)
+    assert ctx.shape == (B, d)
+    assert np.all(np.isfinite(np.asarray(ctx)))
+    norms = np.linalg.norm(np.asarray(ctx), axis=-1)
+    assert np.all(norms < 1.0 / np.sqrt(cfg.c))
+
+    def loss(p):
+        return jnp.sum(est.history_encoder(p, cfg, nb, rl, tm, q, mask, cfg.c) ** 2)
+
+    g = jax.grad(loss)(params)
+    gn = sum(float(jnp.sum(x**2)) for x in jax.tree.leaves(g))
+    assert np.isfinite(gn) and gn > 0
 
 
 def test_manifold_entities_riemannian_updates_stay_on_ball(tiny_data):
@@ -142,3 +162,14 @@ def test_curvature_warmup_schedule(tiny_data):
     trainer = HyperbolicTrainer(cfg, _tc(), tiny_data, curvature_warmup_epochs=4)
     assert trainer._curvature_max(0) < trainer._curvature_max(3)
     assert trainer._curvature_max(10) == cfg.curvature_max
+
+
+def test_hyperbolic_multi_step_inference(tiny_data):
+    cfg = _cfg(tiny_data)
+    trainer = HyperbolicTrainer(cfg, _tc(), tiny_data)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    stats = trainer.evaluate(
+        state, trainer.train_list, trainer.valid_list,
+        time_offset=len(trainer.train_list), multi_step=True, topk=5,
+    )
+    assert np.isfinite(stats["ent_raw"].mrr)
