@@ -162,6 +162,78 @@ def rgcn_block_layer(
     return agg
 
 
+def init_rgcn_basis_layer(
+    rng: jax.Array, in_feat: int, out_feat: int, num_rels: int,
+    num_bases: int = -1, bias: bool = False,
+) -> Params:
+    """Legacy basis-decomposition layer (ref:rgcn/layers.py:96-144).
+
+    Not on the reference's main temporal path (used by its legacy RDF
+    entity-classification stack); provided for library parity.
+    """
+    if num_bases <= 0 or num_bases > num_rels:
+        num_bases = num_rels
+    ks = jax.random.split(rng, 3)
+    p: Params = {
+        "weight": xavier_uniform(ks[0], (num_bases, in_feat, out_feat),
+                                 gain=RELU_GAIN)
+    }
+    if num_bases < num_rels:
+        p["w_comp"] = xavier_uniform(ks[1], (num_rels, num_bases), gain=RELU_GAIN)
+    if bias:
+        p["bias"] = xavier_uniform(ks[2], (1, out_feat), gain=RELU_GAIN)[0]
+    return p
+
+
+def rgcn_basis_layer(
+    params: Params,
+    h: jax.Array,  # [N, in_feat]; ignored when input_layer=True
+    snap,
+    *,
+    input_layer: bool = False,
+    activation=None,
+) -> jax.Array:
+    """Basis-decomposed relation-typed aggregation (ref:rgcn/layers.py:118-144).
+
+    Reference semantics: msg_e = h[src_e] @ W[rel_e] with
+    W[r] = sum_b w_comp[r,b] * basis_b, reduce = sum * in-degree norm,
+    then bias + activation. The reference materialises a per-edge [d,d]
+    weight and runs a batched matmul per edge (ref :137-139); here the
+    basis trick is applied the MXU-friendly way round: B dense GEMMs
+    P_b = h @ basis_b over all nodes, then per-edge combine
+    msg_e = sum_b comp[rel_e, b] * P_b[src_e] — identical numerics,
+    no [E, d, d] tensor.
+
+    input_layer=True reproduces the reference's featureless input mode
+    (ref :129-134): node features are implicit one-hot ids, so the
+    message is the embedding-table row ``weight[rel_e, src_e]``.
+    """
+    n = h.shape[0]
+    weight = params["weight"]  # [B, in, out]
+    num_bases = weight.shape[0]
+    if input_layer:
+        if "w_comp" in params:
+            full = jnp.einsum("rb,bio->rio", params["w_comp"], weight)
+        else:
+            full = weight
+        msg = full[snap.rel, snap.src]  # [E, out]
+    else:
+        proj = jnp.einsum("ni,bio->bno", h, weight)  # B GEMMs on the MXU
+        per_edge = proj[:, snap.src, :]  # [B, E, out]
+        if "w_comp" in params:
+            comp = params["w_comp"][snap.rel]  # [E, B]
+        else:
+            comp = jax.nn.one_hot(snap.rel, num_bases, dtype=h.dtype)
+        msg = jnp.einsum("eb,beo->eo", comp, per_edge)
+    agg = masked_segment_sum(msg, snap.dst, snap.edge_mask, n)
+    agg = agg * snap.in_deg_norm[:, None]
+    if "bias" in params:
+        agg = agg + params["bias"]
+    if activation is not None:
+        agg = activation(agg)
+    return agg
+
+
 def init_gru_cell(rng: jax.Array, input_size: int, hidden_size: int) -> Params:
     """torch nn.GRUCell parameterisation (ref:src/rrgcn.py:133)."""
     from regcn_tpu.utils.init import gru_uniform

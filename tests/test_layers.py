@@ -119,3 +119,59 @@ def test_convtranse_masked_rows_do_not_change_stats(rng):
     )
     np.testing.assert_allclose(s1, s2[:b], rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(st1["bn1"]["mean"], st2["bn1"]["mean"], rtol=1e-5, atol=1e-6)
+
+
+def _basis_loop_spec(weight, w_comp, h, src, dst, rel, mask, norm, n):
+    """Per-edge loop spec of RGCNBasisLayer.propagate (ref:rgcn/layers.py:118-144)."""
+    num_bases = weight.shape[0]
+    if w_comp is not None:
+        full = np.einsum("rb,bio->rio", w_comp, weight)
+    else:
+        full = weight
+    out = np.zeros((n, weight.shape[2]), np.float32)
+    for e in range(len(src)):
+        if not mask[e]:
+            continue
+        out[dst[e]] += h[src[e]] @ full[rel[e]]
+    return out * norm[:, None]
+
+
+@pytest.mark.parametrize("num_bases", [-1, 3])
+def test_rgcn_basis_layer_matches_loop_spec(rng, tiny_graph, num_bases):
+    from regcn_tpu.data import build_snapshot
+    from regcn_tpu.models.layers import init_rgcn_basis_layer, rgcn_basis_layer
+
+    n, r, triples = tiny_graph
+    d_in, d_out = 8, 10
+    snap = build_snapshot(triples, n, r, edge_bucket=512)
+    params = init_rgcn_basis_layer(
+        jax.random.PRNGKey(1), d_in, d_out, 2 * r, num_bases=num_bases, bias=True)
+    h = rng.normal(size=(n, d_in)).astype(np.float32)
+
+    out = rgcn_basis_layer(params, jnp.asarray(h), snap, activation=jax.nn.relu)
+    expected = _basis_loop_spec(
+        np.asarray(params["weight"]),
+        np.asarray(params["w_comp"]) if "w_comp" in params else None,
+        h, np.asarray(snap.src), np.asarray(snap.dst), np.asarray(snap.rel),
+        np.asarray(snap.edge_mask), np.asarray(snap.in_deg_norm), n)
+    expected = np.maximum(expected + np.asarray(params["bias"]), 0.0)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-5)
+
+
+def test_rgcn_basis_layer_input_mode(rng, tiny_graph):
+    """Featureless input mode: message = weight[rel, src] row lookup."""
+    from regcn_tpu.data import build_snapshot
+    from regcn_tpu.models.layers import init_rgcn_basis_layer, rgcn_basis_layer
+
+    n, r, triples = tiny_graph
+    d_out = 8
+    snap = build_snapshot(triples, n, r, edge_bucket=512)
+    params = init_rgcn_basis_layer(jax.random.PRNGKey(2), n, d_out, 2 * r)
+    h_onehot = np.eye(n, dtype=np.float32)
+
+    out_lookup = rgcn_basis_layer(params, jnp.asarray(h_onehot), snap,
+                                  input_layer=True)
+    out_dense = rgcn_basis_layer(params, jnp.asarray(h_onehot), snap,
+                                 input_layer=False)
+    np.testing.assert_allclose(np.asarray(out_lookup), np.asarray(out_dense),
+                               rtol=1e-4, atol=1e-5)
