@@ -1,16 +1,19 @@
-"""Benchmark: RE-GCN training throughput on real hardware.
+"""Benchmark: training throughput on real hardware, reference config.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Headline metric: RGCN edge-messages/s during full training (fwd+bwd+
-optimizer, one optimizer step per snapshot) on an ICEWS14s-shaped
-workload — history window 3, 2 RGCN layers, h_dim 200, ConvTransE/R
-decoders, entity+relation losses: the reference's benchmark config
-(BASELINE.md: ~0.2 s/snapshot => ~1.5-2e6 edge-messages/s on a
-2020-era GPU). Edge-messages per step = sum(window real edges) * n_layers.
+Headline metric: full-train-step snapshots/s on the reference's own
+benchmark configuration (BASELINE.md / ref:hyperbolic_src/train.log):
+hyperbolic model, encoder hyperbolic_uvrgcn, decoder
+hyperbolic_convtranse, n_hidden=200, n_layers=2, history 3, ICEWS14s
+shape (7128 entities, 230 relations, ~304 snapshots) — the ONLY
+first-party empirical baseline the reference publishes (~0.205
+s/snapshot => 4.89 snapshots/s on its GPU, fwd+bwd+optimizer).
 
 Uses the fused whole-epoch path (device-resident snapshot store +
-lax.scan): the TPU-native execution model of this framework.
+lax.scan): the TPU-native execution model of this framework. The
+Euclidean RE-GCN baseline model's throughput on the same shapes is
+reported in "extra" for reference.
 """
 
 from __future__ import annotations
@@ -22,17 +25,55 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# reference: 303 train snapshots in ~62 s (train.log epoch lines)
+BASELINE_SNAPS_PER_S = 303 / 62.0
 
-def main():
-    from regcn_tpu.utils.prng import use_fast_prng
 
-    use_fast_prng()
+def _time_epochs(epoch_callable, n_epochs=3):
+    # warmup/compile; fetching a scalar is the only reliable fence over
+    # the remote-tunnel platform
+    epoch_callable()
+    t0 = time.perf_counter()
+    for _ in range(n_epochs):
+        epoch_callable()
+    return (time.perf_counter() - t0) / n_epochs
+
+
+def bench_hyperbolic(data):
+    from regcn_tpu.config import TrainConfig
+    from regcn_tpu.hyperbolic.model import HyperbolicConfig
+    from regcn_tpu.hyperbolic.train import HyperbolicTrainer
+
+    cfg = HyperbolicConfig(
+        num_ents=data.num_nodes, num_rels=data.num_rels, h_dim=200,
+        n_layers=2, encoder="hyperbolic_uvrgcn", decoder="hyperbolic_convtranse",
+    )
+    tc = TrainConfig(train_history_len=3, edge_bucket=1024, rc_bucket=2048,
+                     triple_bucket=1024)
+    trainer = HyperbolicTrainer(cfg, tc, data)
+    state_box = [trainer.init_state(jax.random.PRNGKey(0))]
+    epoch_box = [0]
+
+    def one_epoch():
+        state_box[0], losses = trainer.run_epoch(state_box[0], epoch_box[0])
+        epoch_box[0] += 1
+        return losses
+
+    dt = _time_epochs(one_epoch)
+    n_snaps = len(trainer.train_list) - 1
+    edges = sum(
+        sum(2 * len(trainer.train_list[j])
+            for j in range(max(0, i - tc.train_history_len), i))
+        for i in range(1, len(trainer.train_list))
+    ) * cfg.n_layers
+    return n_snaps / dt, edges / dt, dt, n_snaps
+
+
+def bench_euclidean(data):
     from regcn_tpu.config import ExperimentConfig, ModelConfig, TrainConfig
-    from regcn_tpu.data.synthetic import generate
     from regcn_tpu.train.loop import Trainer
     from regcn_tpu.train.state import create_train_state
 
-    data = generate("synthetic-icews14s", seed=123)
     cfg = ExperimentConfig(
         model=ModelConfig(num_ents=data.num_nodes, num_rels=data.num_rels,
                           h_dim=200, n_layers=2),
@@ -40,48 +81,43 @@ def main():
                           rc_bucket=2048, triple_bucket=1024),
     )
     trainer = Trainer(cfg, data)
-    state = create_train_state(jax.random.PRNGKey(0), cfg.model, cfg.train)
-
-    tc = cfg.train
-    hlen = tc.train_history_len
+    state_box = [create_train_state(jax.random.PRNGKey(0), cfg.model, cfg.train)]
+    hlen = cfg.train.train_history_len
     store, epoch_fn = trainer._ensure_store()
-    full = np.arange(hlen, len(trainer.train_list), dtype=np.int32)
+    order = jnp.arange(hlen, len(trainer.train_list), dtype=jnp.int32)
 
-    # real (unpadded) edge-messages per epoch over the scanned indices
-    real_edges = sum(
-        sum(2 * len(trainer.train_list[j]) for j in range(i - hlen, i))
-        for i in full
-    ) * cfg.model.n_layers
+    def one_epoch():
+        state_box[0], losses = epoch_fn(state_box[0], store, order)
+        float(losses["entity"].mean())
 
-    # warmup/compile; fetch a scalar to fully sync (block_until_ready is
-    # not a reliable fence over the remote-tunnel platform)
-    order = jnp.asarray(full)
-    state, losses = epoch_fn(state, store, order)
-    float(losses["entity"].mean())
+    dt = _time_epochs(one_epoch)
+    return int(order.shape[0]) / dt
 
-    n_epochs = 3
-    t0 = time.perf_counter()
-    for _ in range(n_epochs):
-        state, losses = epoch_fn(state, store, order)
-    float(losses["entity"].mean())
-    dt = time.perf_counter() - t0
 
-    edges_per_s = real_edges * n_epochs / dt
-    snaps_per_s = len(full) * n_epochs / dt
-    # Reference anchor: ~0.2 s/snapshot full train step on its GPU for this
-    # exact workload shape (BASELINE.md epoch lines: 62s / 303 snapshots)
-    baseline_snaps_per_s = 5.0
+def main():
+    from regcn_tpu.utils.prng import use_fast_prng
+
+    use_fast_prng()
+    from regcn_tpu.data.synthetic import generate
+
+    data = generate("synthetic-icews14s", seed=123)
+    snaps_per_s, edges_per_s, epoch_s, n_snaps = bench_hyperbolic(data)
+    eu_snaps_per_s = bench_euclidean(data)
+
     print(json.dumps({
         "metric": "train_snapshots_per_s",
         "value": round(snaps_per_s, 2),
-        "unit": "snapshots/s (full train step: fwd+bwd+adam, ICEWS14s shape)",
-        "vs_baseline": round(snaps_per_s / baseline_snaps_per_s, 2),
+        "unit": "snapshots/s (full train step fwd+bwd+opt, reference "
+                "hyperbolic benchmark config, ICEWS14s shape)",
+        "vs_baseline": round(snaps_per_s / BASELINE_SNAPS_PER_S, 2),
         "extra": {
             "s_per_snapshot": round(1.0 / snaps_per_s, 5),
             "edge_messages_per_s": round(edges_per_s, 1),
-            "epoch_s": round(dt / n_epochs, 3),
+            "epoch_s": round(epoch_s, 3),
+            "baseline_snapshots_per_s": round(BASELINE_SNAPS_PER_S, 2),
+            "euclidean_regcn_snapshots_per_s": round(eu_snaps_per_s, 2),
             "device": str(jax.devices()[0]),
-            "snapshots_per_epoch": int(len(full)),
+            "snapshots_per_epoch": int(n_snaps),
         },
     }))
 
