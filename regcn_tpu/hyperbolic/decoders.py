@@ -205,9 +205,15 @@ def _leaky_tanh(x):
 def hyperbolic_convtranse_score(
     params, bn_state, entity_embedding, rel_embedding, triples, c,
     mask=None, *, dropouts=(0.0, 0.0, 0.0), rng=None, train=False,
+    ent_tan=None,
 ):
-    """Entity scores on tangent-space embeddings (ref :310-413)."""
-    ent_tan = _leaky_tanh(H.log_map_zero(entity_embedding, c))
+    """Entity scores on tangent-space embeddings (ref :310-413).
+
+    ent_tan, if given, is the pre-activated leaky-tanh tangent table
+    (shared across decoders to avoid recomputing the full-table log map).
+    """
+    if ent_tan is None:
+        ent_tan = _leaky_tanh(H.log_map_zero(entity_embedding, c))
     e1 = ent_tan[triples[:, 0]]
     r = rel_embedding[triples[:, 1]]
     stacked = jnp.stack([e1, r], axis=1)
@@ -223,9 +229,11 @@ def hyperbolic_convtranse_score(
 def hyperbolic_convtransr_score(
     params, bn_state, entity_embedding, rel_embedding, triples, c,
     mask=None, *, dropouts=(0.0, 0.0, 0.0), rng=None, train=False,
+    ent_tan=None,
 ):
     """Relation scores (ref :416-510); candidates = evolved rel emb."""
-    ent_tan = _leaky_tanh(H.log_map_zero(entity_embedding, c))
+    if ent_tan is None:
+        ent_tan = _leaky_tanh(H.log_map_zero(entity_embedding, c))
     e1 = ent_tan[triples[:, 0]]
     e2 = ent_tan[triples[:, 2]]
     stacked = jnp.stack([e1, e2], axis=1)

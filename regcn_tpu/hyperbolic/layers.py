@@ -105,6 +105,82 @@ def hyperbolic_union_layer(
     return H.exp_map_zero(h_new, c)
 
 
+def union_layer_tangent(
+    params: Params,
+    v: jax.Array,  # [N, d] tangent vectors (= log_0 of the ball points)
+    rel_emb: jax.Array,
+    snap,
+    c,
+    *,
+    prev_v: Optional[jax.Array] = None,  # tangent of previous layer input
+    radius_gamma: float = 1.0,
+    dropout: float = 0.0,
+    rng=None,
+    train: bool = False,
+) -> jax.Array:
+    """Tangent-in/tangent-out :func:`hyperbolic_union_layer`.
+
+    Identical math with the input log map and output exp map elided (the
+    caller's carry already IS the tangent representation); the radius
+    edge weights use :func:`H.radius_from_tangent`. Returns the RAW
+    tangent output — the caller applies :func:`H.clamp_tangent_norm`,
+    which reproduces the exp -> project -> log composition exactly.
+    """
+    n = v.shape[0]
+    radius = H.radius_from_tangent(v, c)
+
+    msg = (v[snap.src] + rel_emb[snap.rel]) @ params["w_neighbor"]
+    rw = jnp.exp(-radius_gamma * jnp.abs(radius[snap.src] - radius[snap.dst]))
+    msg = msg * (rw * snap.edge_mask)[:, None]
+    agg = jax.ops.segment_sum(msg, snap.dst, num_segments=n)
+    h_new = agg * snap.in_deg_norm[:, None]
+    h_new = jnp.clip(h_new, -CLAMP, CLAMP)
+
+    if "loop_w" in params:
+        loop = _dual_self_loop(params, v, snap.has_in_edge)
+    if prev_v is not None and "skip_w" in params:
+        gate = jax.nn.sigmoid(prev_v @ params["skip_w"] + params["skip_b"])
+        if "loop_w" in params:
+            h_new = h_new + loop
+        h_new = gate * h_new + (1 - gate) * prev_v
+    elif "loop_w" in params:
+        h_new = h_new + loop
+
+    h_new = jnp.clip(h_new, -CLAMP, CLAMP)
+    h_new = rrelu(h_new, None, train=False)
+    return _dropout(h_new, dropout, rng, train)
+
+
+def uvrgcn_cell_tangent(
+    params: Params,
+    v: jax.Array,
+    rel_emb: jax.Array,
+    snap,
+    c,
+    *,
+    radius_gamma: float = 1.0,
+    dropout: float = 0.0,
+    rng=None,
+    train: bool = False,
+) -> jax.Array:
+    """Tangent-space layer stack matching :func:`encoder_cell` for
+    ``hyperbolic_uvrgcn`` (same rng fold structure, so train-mode dropout
+    masks are identical)."""
+    x = v
+    prev = None
+    for i, lp in enumerate(params["layers"]):
+        k = jax.random.fold_in(rng, i) if rng is not None else None
+        new_x = union_layer_tangent(
+            lp, x, rel_emb, snap, c,
+            prev_v=prev if i > 0 else None,
+            radius_gamma=radius_gamma, dropout=dropout, rng=k, train=train,
+        )
+        prev = x
+        # between layers the ball path exp-maps then re-log-maps
+        x = H.clamp_tangent_norm(new_x, c)
+    return x
+
+
 # --------------------------------------------------------------------- FHNN
 
 def init_fhnn_layer(rng, h_dim, num_rels, self_loop=True) -> Params:

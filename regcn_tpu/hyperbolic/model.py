@@ -238,8 +238,15 @@ def evolve(
     train: bool = False,
     return_all: bool = False,
     curvature_max=None,
+    tangent_fast: Optional[bool] = None,
 ):
-    """Returns (h_final ball, h0_final tangent, static_emb, all_h?)."""
+    """Returns (h_final ball, h0_final tangent, static_emb, all_h?).
+
+    tangent_fast=None auto-selects the tangent-carry scan for the
+    ``hyperbolic_uvrgcn`` encoder (mathematically identical, ~half the
+    full-table transcendental passes per step); False forces the
+    ball-space reference path (used by the equivalence test).
+    """
     c = get_curvature(params, cfg, curvature_max)
 
     if cfg.use_static and static_snap is not None:
@@ -271,6 +278,14 @@ def evolve(
     emb_rel = params["emb_rel"]
     R2 = cfg.num_rels_total
     static_radius = _static_radius(params, cfg, c)
+
+    if tangent_fast is None:
+        tangent_fast = cfg.encoder == "hyperbolic_uvrgcn"
+    if tangent_fast and cfg.encoder == "hyperbolic_uvrgcn":
+        return _evolve_tangent(
+            params, cfg, history, h, emb_rel, static_emb, static_radius, c,
+            rng=rng, train=train, return_all=return_all,
+        )
 
     def step(carry, inputs):
         h, h0 = carry
@@ -310,6 +325,67 @@ def evolve(
     return h_final, h0_final, static_emb, (ys if return_all else None)
 
 
+def _evolve_tangent(
+    params, cfg, history, h_init, emb_rel, static_emb, static_radius, c,
+    *, rng=None, train=False, return_all=False,
+):
+    """Tangent-carry scan for the uvrgcn encoder.
+
+    The ball-space step (``evolve``) runs ~12 full-entity-table
+    transcendental map passes per snapshot, almost all of them paired
+    exp_0/log_0 inverses. Here the carry IS the tangent representation
+    (invariant: v = log_0(h) exactly, including eps clamps — see
+    ops.clamp_tangent_norm), so each step needs only O(1) cheap [N]-norm
+    transcendentals and exp-maps happen once, outside the scan.
+    Equivalence with the ball path is tested (tests/test_hyperbolic_model.py).
+    """
+    R2 = cfg.num_rels_total
+    v0 = H.log_map_zero(h_init, c)
+
+    def step(carry, inputs):
+        v, h0 = carry
+        step_idx, snap = inputs
+        k = jax.random.fold_in(rng, step_idx) if rng is not None else None
+
+        ctx = masked_segment_mean(v[snap.rc_ent], snap.rc_rel, snap.rc_mask, R2)
+        x_input = jnp.concatenate([emb_rel, ctx], axis=1)
+        h0_new = gru_cell(params["gru"], x_input, h0)
+        if cfg.layer_norm:
+            h0_new = l2_normalize(h0_new)
+
+        cur = HL.uvrgcn_cell_tangent(
+            params["rgcn"], v, h0_new, snap, c,
+            radius_gamma=cfg.radius_msg_gamma, dropout=cfg.dropout,
+            rng=k, train=train,
+        )
+        # ball path: project (folded into the cell's final clamp) then
+        # tangent layer-norm then clip; unit rows make the clip a no-op
+        if cfg.layer_norm:
+            cur_tan = l2_normalize(cur)
+        else:
+            cur_tan = jnp.clip(cur, -CLAMP, CLAMP)
+        prev_tan = jnp.clip(v, -CLAMP, CLAMP)
+        gate = jax.nn.sigmoid(prev_tan @ params["time_gate_w"] + params["time_gate_b"])
+        v_new = H.clamp_tangent_norm(gate * cur_tan + (1.0 - gate) * prev_tan, c)
+
+        if cfg.use_residual_evolution:
+            delta = (v_new @ params["radius_mlp_w"].T + params["radius_mlp_b"])[..., 0]
+            delta = jnp.clip(delta, -cfg.radius_epsilon, cfg.radius_epsilon)
+            dynamic_radius = H.radius_from_tangent(v_new, c)
+            base = (cfg.radius_anchor_beta * static_radius
+                    + (1.0 - cfg.radius_anchor_beta) * dynamic_radius)
+            v_new = H.apply_radius_tangent(v_new, base + delta, c)
+        else:
+            v_new = H.apply_radius_tangent(v_new, static_radius, c)
+        return (v_new, h0_new), (v_new if return_all else 0.0)
+
+    T = history.src.shape[0]
+    (v_final, h0_final), ys = jax.lax.scan(step, (v0, emb_rel), (jnp.arange(T), history))
+    h_final = H.exp_map_zero(v_final, c)
+    all_h = H.exp_map_zero(ys, c) if return_all else None
+    return h_final, h0_final, static_emb, all_h
+
+
 def _final_embedding(h, cfg, c):
     if cfg.layer_norm:
         return H.exp_map_zero(l2_normalize(H.log_map_zero(h, c)), c)
@@ -328,11 +404,12 @@ def _masked_ce(scores, labels, mask):
 
 
 def entity_scores(params, state, cfg, pre_emb, r_emb, triples, mask, c,
-                  *, rng=None, train=False):
+                  *, rng=None, train=False, ent_tan=None):
     if cfg.decoder == "hyperbolic_convtranse":
         scores, new_bn = HD.hyperbolic_convtranse_score(
             params["decoder_ob"], state.bn_ob, pre_emb, r_emb, triples, c,
             mask=mask, dropouts=_decoder_dropouts(cfg), rng=rng, train=train,
+            ent_tan=ent_tan,
         )
         return scores, new_bn
     fn = {"murp": HD.murp_score, "roth": HD.roth_score, "atth": HD.atth_score}[cfg.decoder]
@@ -342,11 +419,12 @@ def entity_scores(params, state, cfg, pre_emb, r_emb, triples, mask, c,
 
 
 def relation_scores(params, state, cfg, pre_emb, r_emb, triples, mask, c,
-                    *, rng=None, train=False):
+                    *, rng=None, train=False, ent_tan=None):
     if cfg.decoder == "hyperbolic_convtranse":
         scores, new_bn = HD.hyperbolic_convtransr_score(
             params["decoder_rel"], state.bn_rel, pre_emb, r_emb, triples, c,
             mask=mask, dropouts=_decoder_dropouts(cfg), rng=rng, train=train,
+            ent_tan=ent_tan,
         )
         return scores, new_bn
     fn = {"murp": HD.murp_rel_score, "roth": HD.roth_rel_score,
@@ -420,7 +498,13 @@ def get_loss(
         est_slow_state=slow_state, rng=k_fwd, train=train,
         return_all=cfg.use_static, curvature_max=curvature_max,
     )
-    pre_emb = _final_embedding(h, cfg, c)
+    # _final_embedding unrolled so the tangent table can be shared with
+    # both ConvTrans decoders (saves 2 full-table log maps per step)
+    pre_tan = H.log_map_zero(h, c)
+    if cfg.layer_norm:
+        pre_tan = l2_normalize(pre_tan)
+    pre_emb = H.exp_map_zero(pre_tan, c)
+    ent_tan = HD._leaky_tanh(H.clamp_tangent_norm(pre_tan, c))
 
     if cfg.use_est and est_inputs is not None and est_inputs[1] is not None:
         from regcn_tpu.hyperbolic import est
@@ -433,6 +517,7 @@ def get_loss(
             params["est"], cfg, pre_emb, triples, est_inputs[1], c,
             slow_state, dyn_tan, r_emb, rng=k_est, train=train,
         )
+        ent_tan = None  # enrichment changed the table; decoders re-derive
 
     zero = jnp.zeros(())
     loss_ent = loss_rel = loss_static = zero
@@ -442,7 +527,7 @@ def get_loss(
         if cfg.decoder == "hyperbolic_convtranse":
             scores_ob, new_bn_ob = entity_scores(
                 params, state, cfg, pre_emb, r_emb, triples, triple_mask, c,
-                rng=k_ob, train=train,
+                rng=k_ob, train=train, ent_tan=ent_tan,
             )
             if cfg.use_time_aware_negative and tans_mask_coo is not None and train:
                 rows, cols = tans_mask_coo
@@ -461,7 +546,7 @@ def get_loss(
         if cfg.decoder == "hyperbolic_convtranse":
             scores_rel, new_bn_rel = relation_scores(
                 params, state, cfg, pre_emb, r_emb, triples, triple_mask, c,
-                rng=k_rel, train=train,
+                rng=k_rel, train=train, ent_tan=ent_tan,
             )
             loss_rel = _masked_ce(scores_rel, triples[:, 1], triple_mask)
         else:
@@ -503,7 +588,11 @@ def predict(
         params, cfg, history, static_snap=static_snap,
         est_slow_state=slow_state, rng=None, train=False,
     )
-    emb = _final_embedding(h, cfg, c)
+    pre_tan = H.log_map_zero(h, c)
+    if cfg.layer_norm:
+        pre_tan = l2_normalize(pre_tan)
+    emb = H.exp_map_zero(pre_tan, c)
+    ent_tan = HD._leaky_tanh(H.clamp_tangent_norm(pre_tan, c))
     if cfg.use_est and est_inputs is not None and est_inputs[1] is not None:
         from regcn_tpu.hyperbolic import est
 
@@ -515,6 +604,9 @@ def predict(
             params["est"], cfg, emb, triples, est_inputs[1], c,
             slow_state, dyn_tan, r_emb,
         )
-    scores_ob, _ = entity_scores(params, state, cfg, emb, r_emb, triples, triple_mask, c)
-    scores_rel, _ = relation_scores(params, state, cfg, emb, r_emb, triples, triple_mask, c)
+        ent_tan = None
+    scores_ob, _ = entity_scores(params, state, cfg, emb, r_emb, triples,
+                                 triple_mask, c, ent_tan=ent_tan)
+    scores_rel, _ = relation_scores(params, state, cfg, emb, r_emb, triples,
+                                    triple_mask, c, ent_tan=ent_tan)
     return scores_ob, scores_rel

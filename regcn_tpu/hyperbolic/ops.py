@@ -124,6 +124,57 @@ def safe_arctanh(x: jax.Array, eps: float = EPS) -> jax.Array:
     return jnp.arctanh(jnp.clip(x, -1 + eps, 1 - eps))
 
 
+# --------------------------------------------------------------------------
+# Tangent-space fused equivalents (TPU fast path)
+#
+# log_0 and exp_0 are exact inverses at the origin, so a chain
+#   exp_0 -> project_to_ball -> log_0
+# collapses to a single norm clamp in tangent space. These helpers let the
+# scanned recurrence keep its carry in tangent space and skip the paired
+# transcendental round trips (the dominant VPU cost of the hyperbolic
+# step), while reproducing the exact eps/clamp discipline of the ball-space
+# ops above so both paths agree to float tolerance.
+# --------------------------------------------------------------------------
+
+def tangent_norm_bound(c, eps: float = EPS):
+    """The tangent norm that survives exp_0 -> project -> log_0.
+
+    exp_0 caps the ball norm at tanh(sqrt(c)||v||)/sqrt(c) then projects to
+    1/sqrt(c) - 2eps; log_0 additionally clamps sqrt(c)||x|| at 1 - eps.
+    """
+    sqrt_c = jnp.sqrt(c)
+    scaled = jnp.minimum(1.0 - 2.0 * sqrt_c * eps, 1.0 - eps)
+    return jnp.arctanh(scaled) / sqrt_c
+
+
+def clamp_tangent_norm(v: jax.Array, c, eps: float = EPS) -> jax.Array:
+    """Tangent-space equivalent of log_0(project_to_ball(exp_0(v)))."""
+    bound = tangent_norm_bound(c, eps)
+    vn = _norm(v, eps=eps)
+    return v * (jnp.minimum(vn, bound) / vn)
+
+
+def radius_from_tangent(v: jax.Array, c, eps: float = EPS) -> jax.Array:
+    """get_radius(exp_0(v)) without materialising the ball point: [..., ]."""
+    sqrt_c = jnp.sqrt(c)
+    vn = _norm(v, keepdims=False, eps=eps)
+    r = jnp.tanh(sqrt_c * vn) / sqrt_c
+    return jnp.maximum(jnp.minimum(r, 1.0 / sqrt_c - 2.0 * eps), eps)
+
+
+def apply_radius_tangent(v: jax.Array, radius, c, eps: float = EPS) -> jax.Array:
+    """log_0(apply_radius(exp_0(v), radius)): set tangent norm so the ball
+    point lands exactly at ``radius`` (direction preserved)."""
+    radius = jnp.asarray(radius)
+    if radius.ndim == v.ndim - 1:
+        radius = radius[..., None]
+    sqrt_c = jnp.sqrt(c)
+    max_radius = 1.0 / sqrt_c - eps
+    radius = jnp.clip(radius, eps, max_radius)
+    target_vn = jnp.arctanh(jnp.minimum(sqrt_c * radius, 1.0 - eps)) / sqrt_c
+    return (v / _norm(v, eps=eps)) * target_vn
+
+
 def embedding_stats(x: jax.Array, c) -> dict:
     """Norm statistics for observability (ref :236-269)."""
     r = get_radius(x)

@@ -173,3 +173,55 @@ def test_hyperbolic_multi_step_inference(tiny_data):
         time_offset=len(trainer.train_list), multi_step=True, topk=5,
     )
     assert np.isfinite(stats["ent_raw"].mrr)
+
+
+@pytest.mark.parametrize("train_mode", [False, True])
+@pytest.mark.parametrize("residual", [True, False])
+def test_tangent_fast_path_matches_ball_path(tiny_data, batch, train_mode, residual):
+    """The tangent-carry uvrgcn scan (evolve tangent_fast=True) must be
+    numerically equivalent to the ball-space reference scan — including
+    train-mode dropout masks (same rng fold structure)."""
+    history, triples, mask = batch
+    cfg = _cfg(tiny_data, encoder="hyperbolic_uvrgcn",
+               decoder="hyperbolic_convtranse",
+               use_residual_evolution=residual,
+               dropout=0.3 if train_mode else 0.0)
+    rt = compute_radius_targets(split_by_time(tiny_data.train), tiny_data.num_nodes)
+    params, state = hmodel.init_params(jax.random.PRNGKey(7), cfg, rt)
+    rng = jax.random.PRNGKey(11) if train_mode else None
+
+    h_b, h0_b, _, all_b = hmodel.evolve(
+        params, cfg, history, rng=rng, train=train_mode, return_all=True,
+        tangent_fast=False)
+    h_f, h0_f, _, all_f = hmodel.evolve(
+        params, cfg, history, rng=rng, train=train_mode, return_all=True,
+        tangent_fast=True)
+
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_b),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(h0_f), np.asarray(h0_b),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(all_f), np.asarray(all_b),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_tangent_fast_path_gradients_match(tiny_data, batch):
+    history, triples, mask = batch
+    cfg = _cfg(tiny_data, encoder="hyperbolic_uvrgcn",
+               decoder="hyperbolic_convtranse")
+    rt = compute_radius_targets(split_by_time(tiny_data.train), tiny_data.num_nodes)
+    params, state = hmodel.init_params(jax.random.PRNGKey(3), cfg, rt)
+
+    def loss(p, fast):
+        h, h0, _, _ = hmodel.evolve(p, cfg, history, train=False,
+                                    tangent_fast=fast)
+        return jnp.sum(h * h) + jnp.sum(h0 ** 2)
+
+    g_b = jax.grad(lambda p: loss(p, False))(params)
+    g_f = jax.grad(lambda p: loss(p, True))(params)
+
+    def check(path, vb, vf):
+        np.testing.assert_allclose(np.asarray(vf), np.asarray(vb),
+                                   rtol=5e-3, atol=1e-4, err_msg=str(path))
+
+    jax.tree_util.tree_map_with_path(check, g_b, g_f)
