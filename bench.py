@@ -48,8 +48,8 @@ def bench_hyperbolic(data):
         num_ents=data.num_nodes, num_rels=data.num_rels, h_dim=200,
         n_layers=2, encoder="hyperbolic_uvrgcn", decoder="hyperbolic_convtranse",
     )
-    tc = TrainConfig(train_history_len=3, edge_bucket=1024, rc_bucket=2048,
-                     triple_bucket=1024)
+    tc = TrainConfig(train_history_len=3, edge_bucket=128, rc_bucket=128,
+                     triple_bucket=128)
     trainer = HyperbolicTrainer(cfg, tc, data)
     state_box = [trainer.init_state(jax.random.PRNGKey(0))]
     epoch_box = [0]
@@ -77,8 +77,8 @@ def bench_euclidean(data):
     cfg = ExperimentConfig(
         model=ModelConfig(num_ents=data.num_nodes, num_rels=data.num_rels,
                           h_dim=200, n_layers=2),
-        train=TrainConfig(train_history_len=3, edge_bucket=1024,
-                          rc_bucket=2048, triple_bucket=1024),
+        train=TrainConfig(train_history_len=3, edge_bucket=128,
+                          rc_bucket=128, triple_bucket=128),
     )
     trainer = Trainer(cfg, data)
     state_box = [create_train_state(jax.random.PRNGKey(0), cfg.model, cfg.train)]
