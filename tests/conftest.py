@@ -24,6 +24,19 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True)
+def _restore_prng_impl():
+    """CLI entry points switch the global default PRNG impl to the fast
+    TPU rbg generator (regcn_tpu.utils.prng.use_fast_prng); restore it so
+    tests that run after test_cli.py keep their deterministic threefry
+    draws (the tangent-fast-path gradient parity test is sensitive to
+    which side of a clamp boundary the random init lands on)."""
+    impl = jax.config.jax_default_prng_impl
+    yield
+    if jax.config.jax_default_prng_impl != impl:
+        jax.config.update("jax_default_prng_impl", impl)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
