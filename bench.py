@@ -82,16 +82,14 @@ def bench_euclidean(data):
     )
     trainer = Trainer(cfg, data)
     state_box = [create_train_state(jax.random.PRNGKey(0), cfg.model, cfg.train)]
-    hlen = cfg.train.train_history_len
-    store, epoch_fn = trainer._ensure_store()
-    order = jnp.arange(hlen, len(trainer.train_list), dtype=jnp.int32)
+    epoch_box = [0]
 
     def one_epoch():
-        state_box[0], losses = epoch_fn(state_box[0], store, order)
-        float(losses["entity"].mean())
+        state_box[0], _ = trainer.run_epoch_fused(state_box[0], epoch_box[0])
+        epoch_box[0] += 1
 
     dt = _time_epochs(one_epoch)
-    return int(order.shape[0]) / dt
+    return (len(trainer.train_list) - 1) / dt
 
 
 def main():

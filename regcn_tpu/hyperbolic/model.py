@@ -318,6 +318,11 @@ def evolve(
             h_new = _radius_evolution(params, cfg, h_new, static_radius, c)
         else:
             h_new = H.apply_radius(h_new, static_radius, c)
+        # empty (all-masked) snapshots are identity steps — lets fused
+        # epochs front-pad short windows (see models/recurrent.py)
+        active = jnp.max(snap.edge_mask) > 0
+        h_new = jnp.where(active, h_new, h)
+        h0_new = jnp.where(active, h0_new, h0)
         return (h_new, h0_new), (h_new if return_all else 0.0)
 
     T = history.src.shape[0]
@@ -377,6 +382,9 @@ def _evolve_tangent(
             v_new = H.apply_radius_tangent(v_new, base + delta, c)
         else:
             v_new = H.apply_radius_tangent(v_new, static_radius, c)
+        active = jnp.max(snap.edge_mask) > 0
+        v_new = jnp.where(active, v_new, v)
+        h0_new = jnp.where(active, h0_new, h0)
         return (v_new, h0_new), (v_new if return_all else 0.0)
 
     T = history.src.shape[0]
@@ -434,10 +442,17 @@ def relation_scores(params, state, cfg, pre_emb, r_emb, triples, mask, c,
     return scores, state.bn_rel
 
 
-def static_angular_loss_tangent(static_emb, all_h, cfg, c):
-    """Static constraint compared in tangent space (ref :1039-1064)."""
+def static_angular_loss_tangent(static_emb, all_h, cfg, c, active=None):
+    """Static constraint compared in tangent space (ref :1039-1064).
+
+    ``active`` ([T] {0,1}): real-history-step mask for front-padded
+    windows (see models/recurrent.py:static_angular_loss)."""
     T = all_h.shape[0]
-    steps = jnp.arange(1, T + 1, dtype=jnp.float32)
+    if active is None:
+        steps = jnp.arange(1, T + 1, dtype=jnp.float32)
+    else:
+        active = active.astype(jnp.float32)
+        steps = jnp.cumsum(active)
     if cfg.discount == 0:
         steps = jnp.ones_like(steps)
     angles = jnp.cos(cfg.angle * jnp.pi / 180.0 * steps)
@@ -449,7 +464,10 @@ def static_angular_loss_tangent(static_emb, all_h, cfg, c):
         den = jnp.linalg.norm(static_emb, axis=-1)[None] * jnp.linalg.norm(evo_tan, axis=-1)
         sim = num / jnp.maximum(den, 1e-12)
     gap = angles[:, None] - sim
-    return cfg.static_weight * jnp.sum(jnp.where(gap > 0, gap, 0.0))
+    gap = jnp.where(gap > 0, gap, 0.0)
+    if active is not None:
+        gap = gap * active[:, None]
+    return cfg.static_weight * jnp.sum(gap)
 
 
 def radius_supervision_loss(params, state, cfg, triples, mask, c):
@@ -558,7 +576,9 @@ def get_loss(
             )
 
     if cfg.use_static and static_emb is not None and all_h is not None:
-        loss_static = static_angular_loss_tangent(static_emb, all_h, cfg, c)
+        active = (jnp.max(history.edge_mask, axis=1) > 0).astype(jnp.float32)
+        loss_static = static_angular_loss_tangent(static_emb, all_h, cfg, c,
+                                                  active=active)
 
     loss_radius = radius_supervision_loss(params, state, cfg, triples, triple_mask, c)
 

@@ -194,14 +194,16 @@ class HyperbolicTrainer:
 
         self.rank_step = jax.jit(rank_step)
 
-        # fused whole-epoch path (non-EST only: EST needs host retrieval)
+        # fused whole-epoch path (non-EST only: EST needs host retrieval);
+        # the store is front-padded with hlen empty identity snapshots so
+        # short-history prefix indices run in the same scan
         hlen = tc.train_history_len
 
         def epoch_fn(state: HypTrainState, store: SnapshotStore, order, cmax):
             def body(st, i):
-                history = window_snapshot(store, i - hlen, hlen)
-                triples = store.triples[i]
-                mask = store.triple_mask[i]
+                history = window_snapshot(store, i, hlen)  # = [i-hlen+pad_front, ...)
+                triples = store.triples[i + hlen]
+                mask = store.triple_mask[i + hlen]
                 return train_step(st, history, triples, mask, cmax)
 
             return jax.lax.scan(body, state, order)
@@ -210,6 +212,18 @@ class HyperbolicTrainer:
             self.epoch_fn = jax.jit(epoch_fn, donate_argnums=(0,))
         else:
             self.epoch_fn = None
+
+        # fused whole-split evaluation (one device call per eval split)
+        from regcn_tpu.train.epoch import make_eval_fn
+
+        def eval_predict(state, history, triples, mask):
+            return predict_step(state, history, triples, mask)
+
+        self.eval_fn = (
+            make_eval_fn(eval_predict, tc.test_history_len)
+            if not cfg.use_est else None
+        )
+        self._eval_cache: Dict = {}
 
     # ----------------------------------------------------------------- state
     def init_state(self, rng: jax.Array) -> HypTrainState:
@@ -262,14 +276,14 @@ class HyperbolicTrainer:
         sums = {"entity": 0.0, "relation": 0.0, "static": 0.0, "radius": 0.0}
         n = 0
 
-        use_fused = self.epoch_fn is not None
+        use_fused = self.epoch_fn is not None and not self.triple_batch_size
         hlen = tc.train_history_len
         idx = list(range(1, len(self.train_list)))
         random.Random(tc.seed + epoch).shuffle(idx)
 
         if use_fused:
-            prefix = [i for i in idx if i < hlen]
-            full = np.asarray([i for i in idx if i >= hlen], dtype=np.int32)
+            prefix = []
+            full = np.asarray(idx, dtype=np.int32)
         else:
             prefix = idx
             full = np.asarray([], dtype=np.int32)
@@ -312,19 +326,56 @@ class HyperbolicTrainer:
                 self._store = build_snapshot_store(
                     self.train_list, self.num_nodes, self.num_rels,
                     edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
-                    triple_bucket=tc.triple_bucket,
+                    triple_bucket=tc.triple_bucket, pad_front=hlen,
                 )
             state, loss_stack = self.epoch_fn(state, self._store, jnp.asarray(full), cmax)
+            # ONE device->host round trip for all loss components (through
+            # a remote tunnel, per-scalar float() syncs dominate otherwise)
+            loss_host = jax.device_get(loss_stack)
             for k in sums:
-                sums[k] += float(jnp.sum(loss_stack[k]))
+                sums[k] += float(np.sum(loss_host[k]))
             n += len(full)
 
         return state, {k: v / max(n, 1) for k, v in sums.items()}
 
     # ------------------------------------------------------------------ eval
+    def evaluate_fused(self, state, history_list, eval_list, ent_filters=None,
+                       rel_filters=None, cache_key=None):
+        """Whole-split rolling-window evaluation as ONE device call."""
+        from regcn_tpu.train.epoch import build_eval_store, stack_eval_filters
+
+        tc = self.tc
+        hlen = tc.test_history_len
+        if cache_key is not None and cache_key in self._eval_cache:
+            store, er, ec, rr, rc, tmask = self._eval_cache[cache_key]
+        else:
+            store = build_eval_store(
+                history_list, eval_list, self.num_nodes, self.num_rels, hlen,
+                edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
+                triple_bucket=tc.triple_bucket,
+            )
+            er, ec = stack_eval_filters(ent_filters, eval_list, self.num_rels,
+                                        tc.triple_bucket, rel_mode=False)
+            rr, rc = stack_eval_filters(rel_filters, eval_list, self.num_rels,
+                                        tc.triple_bucket, rel_mode=True)
+            tmask = np.asarray(store.triple_mask)[hlen:] > 0  # [T, B] host
+            if cache_key is not None:
+                self._eval_cache[cache_key] = (store, er, ec, rr, rc, tmask)
+        ranks = jax.device_get(self.eval_fn(state, store, er, ec, rr, rc))
+        out = {}
+        for key, arr in zip(("ent_raw", "ent_filter", "rel_raw", "rel_filter"),
+                            ranks):
+            out[key] = metrics.stat_ranks(
+                [arr[t][tmask[t]] for t in range(arr.shape[0])]
+            )
+        return out
+
     def evaluate(self, state, history_list, eval_list, ent_filters=None,
                  rel_filters=None, time_offset: int = 0,
-                 multi_step: bool = False, topk: int = 10):
+                 multi_step: bool = False, topk: int = 10, cache_key=None):
+        if not multi_step and self.eval_fn is not None:
+            return self.evaluate_fused(state, history_list, eval_list,
+                                       ent_filters, rel_filters, cache_key)
         tc = self.tc
         window = list(history_list[-tc.test_history_len:])
         ranks = {"ent_raw": [], "ent_filter": [], "rel_raw": [], "rel_filter": []}
@@ -389,7 +440,8 @@ class HyperbolicTrainer:
             state, losses = self.run_epoch(state, epoch)
             dt = time.time() - t0
             stats = self.evaluate(state, self.train_list, self.valid_list,
-                                  ent_f, rel_f, time_offset=len(self.train_list))
+                                  ent_f, rel_f, time_offset=len(self.train_list),
+                                  cache_key="valid")
             mrr = stats["ent_raw"].mrr
             history_rows.append({"epoch": epoch, "losses": losses,
                                  "valid_mrr_raw": mrr, "epoch_time_s": dt})
@@ -415,4 +467,5 @@ class HyperbolicTrainer:
         return self.evaluate(
             state, self.train_list + self.valid_list, self.test_list, ent_f, rel_f,
             time_offset=len(self.train_list) + len(self.valid_list),
+            cache_key="test",
         )

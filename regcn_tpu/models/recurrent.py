@@ -134,6 +134,13 @@ def evolve(
             cur = l2_normalize(cur)
         gate = jax.nn.sigmoid(h @ params["time_gate_w"] + params["time_gate_b"])
         h_new = gate * cur + (1.0 - gate) * h
+        # empty (all-masked) snapshots are identity steps: this lets the
+        # fused-epoch scan front-pad short history windows with empty
+        # snapshots and still match the reference's shorter-window
+        # semantics exactly (real snapshots always have >=1 edge)
+        active = jnp.max(snap.edge_mask) > 0
+        h_new = jnp.where(active, h_new, h)
+        h0_new = jnp.where(active, h0_new, h0)
         return (h_new, h0_new), (h_new if return_all else 0.0)
 
     T = history.src.shape[0]
@@ -154,16 +161,26 @@ def _masked_ce(scores: jax.Array, labels: jax.Array, mask: jax.Array) -> jax.Arr
 
 
 def static_angular_loss(
-    static_emb: jax.Array, all_h: jax.Array, cfg: ModelConfig
+    static_emb: jax.Array, all_h: jax.Array, cfg: ModelConfig,
+    active: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Angular constraint between static and evolved embeddings.
 
     Parity with ref:src/rrgcn.py:225-247: per history step t (1-indexed),
     penalise max(0, cos(angle*t) - cos_sim(static, evolved)); with
     discount=0 the angle does not grow with t.
+
+    ``active`` ([T] {0,1}) marks real history steps when the window was
+    front-padded with empty snapshots: inactive steps contribute nothing
+    and step numbering counts active steps only, matching the reference's
+    shorter-window loss exactly.
     """
     T = all_h.shape[0]
-    steps = jnp.arange(1, T + 1, dtype=jnp.float32)
+    if active is None:
+        steps = jnp.arange(1, T + 1, dtype=jnp.float32)
+    else:
+        active = active.astype(jnp.float32)
+        steps = jnp.cumsum(active)
     if cfg.discount == 0:
         steps = jnp.ones_like(steps)
     angles = jnp.cos(cfg.angle * jnp.pi / 180.0 * steps)  # [T]
@@ -179,7 +196,10 @@ def static_angular_loss(
         )
         sim = num / jnp.maximum(den, 1e-12)
     gap = angles[:, None] - sim
-    return cfg.static_weight * jnp.sum(jnp.where(gap > 0, gap, 0.0))
+    gap = jnp.where(gap > 0, gap, 0.0)
+    if active is not None:
+        gap = gap * active[:, None]
+    return cfg.static_weight * jnp.sum(gap)
 
 
 def get_loss(
@@ -228,7 +248,8 @@ def get_loss(
         loss_rel = _masked_ce(scores_rel, triples[:, 1], triple_mask)
 
     if cfg.use_static and static_emb is not None and all_h is not None:
-        loss_static = static_angular_loss(static_emb, all_h, cfg)
+        active = (jnp.max(history.edge_mask, axis=1) > 0).astype(jnp.float32)
+        loss_static = static_angular_loss(static_emb, all_h, cfg, active=active)
 
     losses = {"entity": loss_ent, "relation": loss_rel, "static": loss_static}
     return loss_ent, losses, ModelState(bn_ob=new_bn_ob, bn_rel=new_bn_rel)

@@ -58,13 +58,32 @@ def build_snapshot_store(
     edge_bucket: int = 1024,
     rc_bucket: int = 1024,
     triple_bucket: int = 512,
+    pad_front: int = 0,
 ) -> SnapshotStore:
+    """``pad_front`` prepends that many EMPTY snapshots (all masks zero).
+
+    The evolution step treats an empty snapshot as an identity carry, so
+    front padding lets every history window have the same static length:
+    the window for target snapshot ``i`` is always
+    ``store[i - hlen + pad_front : i + pad_front)`` — short-history
+    prefixes need no separate per-step dispatch path.
+    """
     E = _round_up(max(2 * len(t) for t in snap_list), edge_bucket)
     M = _round_up(max(4 * len(t) for t in snap_list), rc_bucket)
     B = _round_up(max(2 * len(t) for t in snap_list), triple_bucket)
     fields = {k: [] for k in ("src", "dst", "rel", "edge_mask", "rc_rel", "rc_ent", "rc_mask")}
     trips, tmasks = [], []
-    for t in snap_list:
+    empty = np.zeros((0, 3), np.int64)
+    for t in [empty] * pad_front + list(snap_list):
+        if len(t) == 0:
+            sn = None
+            for k in fields:
+                dtype = np.float32 if "mask" in k else np.int32
+                size = M if k.startswith("rc_") else E
+                fields[k].append(np.zeros((size,), dtype))
+            trips.append(np.zeros((B, 3), np.int32))
+            tmasks.append(np.zeros((B,), np.float32))
+            continue
         sn = build_snapshot(t, num_nodes, num_rels, edge_pad=E, rc_pad=M)
         for k in fields:
             fields[k].append(getattr(sn, k))
@@ -106,11 +125,14 @@ def make_epoch_fn(
     tc: TrainConfig,
     static_snap=None,
     impl: str = "xla",
+    pad_front: int = 0,
 ):
     """Returns jitted ``epoch_fn(state, store, order) -> (state, losses)``.
 
-    ``order``: [K] int32 of snapshot indices, each >= history_len; the
-    window for index i is [i-hlen, i).
+    ``order``: [K] int32 of snapshot indices in the ORIGINAL (unpadded)
+    list. With ``pad_front=0`` each must be >= history_len; with
+    ``pad_front=hlen`` every index >= 1 is valid (short windows are
+    front-padded with empty identity snapshots).
     """
     opt = make_optimizer(tc)
     hlen = tc.train_history_len
@@ -129,9 +151,9 @@ def make_epoch_fn(
 
     def epoch_fn(state: TrainState, store: SnapshotStore, order: jax.Array):
         def body(st: TrainState, i):
-            history = window_snapshot(store, i - hlen, hlen)
-            triples = store.triples[i]
-            mask = store.triple_mask[i]
+            history = window_snapshot(store, i - hlen + pad_front, hlen)
+            triples = store.triples[i + pad_front]
+            mask = store.triple_mask[i + pad_front]
             rng, step_rng = jax.random.split(st.rng)
             grads, (losses, new_model_state) = jax.grad(loss_fn, has_aux=True)(
                 st.params, st.model_state, history, triples, mask, step_rng
@@ -147,3 +169,96 @@ def make_epoch_fn(
         return jax.lax.scan(body, state, order)
 
     return jax.jit(epoch_fn, donate_argnums=(0,))
+
+
+def make_eval_fn(predict_fn, hlen: int):
+    """Fused rolling-window evaluation: ONE compiled scan for a whole
+    eval split (the reference dispatches one step per snapshot,
+    ref:src/main.py:67-101 — through a remote TPU tunnel that latency
+    dominates eval wall-clock).
+
+    The eval store holds [last-hlen history snapshots ... eval snapshots]
+    (front-padded with empty identity snapshots if the history is
+    shorter), so the ground-truth rolling window for eval step t is the
+    static slice ``store[t : t + hlen)`` — no data dependence on model
+    output, hence scannable.
+
+    ``predict_fn(state, history, triples, mask) -> (scores_ob, scores_rel)``.
+    Returns ``eval_fn(state, store, ent_rows, ent_cols, rel_rows, rel_cols)
+    -> 4 x [T, B] rank arrays`` (raw/filtered entity, raw/filtered
+    relation); filter COOs are [T, F] padded with out-of-range rows.
+    """
+    from regcn_tpu.train import metrics
+
+    def eval_fn(state, store: SnapshotStore, ent_rows, ent_cols, rel_rows, rel_cols):
+        n_eval = ent_rows.shape[0]
+
+        def body(_, inputs):
+            t, er, ec, rr, rc = inputs
+            history = window_snapshot(store, t, hlen)
+            triples = store.triples[t + hlen]
+            mask = store.triple_mask[t + hlen]
+            s_ob, s_rel = predict_fn(state, history, triples, mask)
+            return 0, (
+                metrics.device_ranks(s_ob, triples[:, 2]),
+                metrics.device_filtered_ranks(s_ob, triples[:, 2], er, ec),
+                metrics.device_ranks(s_rel, triples[:, 1]),
+                metrics.device_filtered_ranks(s_rel, triples[:, 1], rr, rc),
+            )
+
+        ts = jnp.arange(n_eval, dtype=jnp.int32)
+        _, ranks = jax.lax.scan(body, 0, (ts, ent_rows, ent_cols, rel_rows, rel_cols))
+        return ranks
+
+    return jax.jit(eval_fn)
+
+
+def build_eval_store(
+    history_list: List[np.ndarray],
+    eval_list: List[np.ndarray],
+    num_nodes: int,
+    num_rels: int,
+    hlen: int,
+    edge_bucket: int = 1024,
+    rc_bucket: int = 1024,
+    triple_bucket: int = 512,
+) -> SnapshotStore:
+    """Store for :func:`make_eval_fn`: last-hlen history + eval snapshots,
+    front-padded with empty snapshots when history is shorter than hlen."""
+    tail = list(history_list[-hlen:])
+    return build_snapshot_store(
+        tail + list(eval_list), num_nodes, num_rels,
+        edge_bucket=edge_bucket, rc_bucket=rc_bucket,
+        triple_bucket=triple_bucket, pad_front=hlen - len(tail),
+    )
+
+
+def stack_eval_filters(filters, eval_list, num_rels, triple_bucket,
+                       rel_mode: bool):
+    """[T, F] padded filter COOs aligned with the eval store's triples.
+
+    ``filters[t]`` is the AnswerFilter for eval snapshot t (or None);
+    query keys/targets replicate the device-side triple layout
+    (pad_triples: originals then inverses, zero-padded)."""
+    from regcn_tpu.data.snapshots import pad_triples
+    from regcn_tpu.train.metrics import filter_coo_padded
+
+    rows_list, cols_list = [], []
+    for t, snap in enumerate(eval_list):
+        triples, _ = pad_triples(snap, num_rels, triple_bucket)
+        if rel_mode:
+            keys, tgt = triples[:, [0, 2]], triples[:, 1]
+        else:
+            keys, tgt = triples[:, [0, 1]], triples[:, 2]
+        f = filters[t] if filters is not None else None
+        r, c = filter_coo_padded(f, keys, tgt)
+        rows_list.append(r)
+        cols_list.append(c)
+    F = max(len(r) for r in rows_list)
+    B = len(triples)
+    rows = np.full((len(eval_list), F), B, np.int64)
+    cols = np.zeros((len(eval_list), F), np.int64)
+    for t, (r, c) in enumerate(zip(rows_list, cols_list)):
+        rows[t, : len(r)] = r
+        cols[t, : len(c)] = c
+    return jnp.asarray(rows), jnp.asarray(cols)

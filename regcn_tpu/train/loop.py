@@ -152,6 +152,8 @@ class Trainer:
 
         self._store = None
         self._epoch_fn = None
+        self._eval_fn = None
+        self._eval_cache: Dict = {}
 
     # ------------------------------------------------------------------ data
     def _history(self, snaps: Sequence[np.ndarray], cache_key=None) -> Snapshot:
@@ -179,46 +181,41 @@ class Trainer:
             from regcn_tpu.train.epoch import build_snapshot_store, make_epoch_fn
 
             tc = self.cfg.train
+            # front-padded with hlen empty identity snapshots so EVERY
+            # training index (including the short-history prefix) runs in
+            # the single fused scan — no per-step dispatches at all
             self._store = build_snapshot_store(
                 self.train_list, self.num_nodes, self.num_rels,
                 edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
-                triple_bucket=tc.triple_bucket,
+                triple_bucket=tc.triple_bucket, pad_front=tc.train_history_len,
             )
             self._epoch_fn = make_epoch_fn(
-                self.cfg.model, tc, static_snap=self.static_snap, impl=self.impl
+                self.cfg.model, tc, static_snap=self.static_snap, impl=self.impl,
+                pad_front=tc.train_history_len,
             )
         return self._store, self._epoch_fn
 
     def run_epoch_fused(
         self, state: TrainState, epoch: int
     ) -> Tuple[TrainState, Dict[str, float]]:
-        """Whole-epoch device-resident training (one XLA call for all
-        full-window snapshots; short-history prefix via the per-step path)."""
+        """Whole-epoch device-resident training: ONE XLA call per epoch
+        (short-history windows ride the same scan via empty front-pad
+        snapshots that the evolution step treats as identity)."""
         import numpy as _np
 
         tc = self.cfg.train
         store, epoch_fn = self._ensure_store()
-        hlen = tc.train_history_len
-        # short-history indices (1..hlen-1) via the per-step path, shuffled
-        prefix = [i for i in range(1, min(hlen, len(self.train_list)))]
-        random.Random(tc.seed + epoch).shuffle(prefix)
         sums = {"entity": 0.0, "relation": 0.0, "static": 0.0}
-        n = 0
-        for i in prefix:
-            lo = max(0, i - hlen)
-            history = self._history(self.train_list[lo:i], cache_key=(lo, i))
-            triples, mask = self._triples(i)
-            state, losses = self.train_step(state, history, triples, mask)
+        order = _np.arange(1, len(self.train_list), dtype=_np.int32)
+        _np.random.default_rng(tc.seed + epoch).shuffle(order)
+        n = len(order)
+        if n:
+            state, loss_stack = epoch_fn(state, store, jnp.asarray(order))
+            # ONE device->host round trip for all loss components (through
+            # a remote tunnel, per-scalar float() syncs dominate otherwise)
+            loss_host = jax.device_get(loss_stack)
             for k in sums:
-                sums[k] += float(losses[k])
-            n += 1
-        full = _np.arange(hlen, len(self.train_list), dtype=_np.int32)
-        if len(full):
-            _np.random.default_rng(tc.seed + epoch).shuffle(full)
-            state, loss_stack = epoch_fn(state, store, jnp.asarray(full))
-            for k in sums:
-                sums[k] += float(jnp.sum(loss_stack[k]))
-            n += len(full)
+                sums[k] += float(_np.sum(loss_host[k]))
         return state, {k: v / max(n, 1) for k, v in sums.items()}
 
     def run_epoch(self, state: TrainState, epoch: int) -> Tuple[TrainState, Dict[str, float]]:
@@ -240,6 +237,63 @@ class Trainer:
         return state, {k: v / max(n, 1) for k, v in sums.items()}
 
     # ------------------------------------------------------------------ eval
+    def _eval_resources(self, history_list, eval_list, ent_filters,
+                        rel_filters, cache_key=None):
+        if cache_key is not None and cache_key in self._eval_cache:
+            return self._eval_cache[cache_key]
+        from regcn_tpu.train.epoch import (
+            build_eval_store,
+            make_eval_fn,
+            stack_eval_filters,
+        )
+
+        tc, mc = self.cfg.train, self.cfg.model
+        hlen = tc.test_history_len
+        store = build_eval_store(
+            history_list, eval_list, self.num_nodes, self.num_rels, hlen,
+            edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
+            triple_bucket=tc.triple_bucket,
+        )
+        er, ec = stack_eval_filters(ent_filters, eval_list, self.num_rels,
+                                    tc.triple_bucket, rel_mode=False)
+        rr, rc = stack_eval_filters(rel_filters, eval_list, self.num_rels,
+                                    tc.triple_bucket, rel_mode=True)
+        if self._eval_fn is None:
+            def predict_fn(st, history, triples, mask):
+                return recurrent.predict(
+                    st.params, st.model_state, mc, history, triples, mask,
+                    static_snap=self.static_snap, impl=self.impl,
+                )
+
+            self._eval_fn = make_eval_fn(predict_fn, hlen)
+        tmask = np.asarray(store.triple_mask)[hlen:] > 0  # [T, B] host copy
+        res = (store, er, ec, rr, rc, tmask)
+        if cache_key is not None:
+            self._eval_cache[cache_key] = res
+        return res
+
+    def evaluate_fused(
+        self,
+        state: TrainState,
+        history_list: List[np.ndarray],
+        eval_list: List[np.ndarray],
+        ent_filters: Optional[List[AnswerFilter]] = None,
+        rel_filters: Optional[List[AnswerFilter]] = None,
+        cache_key=None,
+    ) -> Dict[str, metrics.RankStats]:
+        """Whole-split rolling-window evaluation as ONE device call."""
+        store, er, ec, rr, rc, tmask = self._eval_resources(
+            history_list, eval_list, ent_filters, rel_filters, cache_key
+        )
+        ranks = jax.device_get(self._eval_fn(state, store, er, ec, rr, rc))
+        out = {}
+        for key, arr in zip(("ent_raw", "ent_filter", "rel_raw", "rel_filter"),
+                            ranks):
+            out[key] = metrics.stat_ranks(
+                [arr[t][tmask[t]] for t in range(arr.shape[0])]
+            )
+        return out
+
     def evaluate(
         self,
         state: TrainState,
@@ -249,8 +303,14 @@ class Trainer:
         rel_filters: Optional[List[AnswerFilter]] = None,
         multi_step: bool = False,
         topk: int = 10,
+        cache_key=None,
     ) -> Dict[str, metrics.RankStats]:
         """Rolling-window evaluation (ref:src/main.py:33-107)."""
+        if not multi_step:
+            return self.evaluate_fused(
+                state, history_list, eval_list, ent_filters, rel_filters,
+                cache_key=cache_key,
+            )
         tc = self.cfg.train
         window = list(history_list[-tc.test_history_len:])
         ranks: Dict[str, List[np.ndarray]] = {
@@ -328,7 +388,7 @@ class Trainer:
             if epoch % tc.evaluate_every == 0:
                 stats = self.evaluate(
                     state, self.train_list, self.valid_list,
-                    ent_filters_v, rel_filters_v,
+                    ent_filters_v, rel_filters_v, cache_key="valid",
                 )
                 mrr = stats["ent_raw"].mrr
                 history_rows.append(
@@ -353,5 +413,5 @@ class Trainer:
         rel_f = build_answer_filters_by_time(self.data.test, self.num_rels, True)
         return self.evaluate(
             state, self.train_list + self.valid_list, self.test_list,
-            ent_f, rel_f, multi_step=multi_step, topk=topk,
+            ent_f, rel_f, multi_step=multi_step, topk=topk, cache_key="test",
         )

@@ -55,15 +55,12 @@ def test_fused_epoch_matches_per_step_path():
     cfg, tc = trainer.cfg.model, trainer.cfg.train
 
     # per-step path over the exact order the fused path will use
+    # (run_epoch_fused now covers EVERY index, short-history prefix
+    # included, via empty front-pad identity snapshots)
     state_a = create_train_state(jax.random.PRNGKey(1), cfg, tc)
     hlen = tc.train_history_len
-    prefix = [i for i in range(1, hlen)]
-    import random as _random
-
-    _random.Random(tc.seed + 0).shuffle(prefix)
-    full = np.arange(hlen, len(trainer.train_list), dtype=np.int32)
-    np.random.default_rng(tc.seed + 0).shuffle(full)
-    order = prefix + list(full)
+    order = np.arange(1, len(trainer.train_list), dtype=np.int32)
+    np.random.default_rng(tc.seed + 0).shuffle(order)
     losses_a = []
     for i in order:
         lo = max(0, i - hlen)

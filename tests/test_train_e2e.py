@@ -96,3 +96,60 @@ def test_skip_connect_and_dilate(tiny_experiment):
     st = create_train_state(_jax.random.PRNGKey(0), cfg.model, cfg.train)
     st, losses = tr.run_epoch_fused(st, 0)
     assert np.isfinite(losses["entity"])
+
+
+def test_fused_eval_matches_per_snapshot_spec(tiny_experiment):
+    """evaluate_fused (one scan over the split) must reproduce the
+    per-snapshot rolling-window evaluation computed independently on the
+    host (predict per snapshot + numpy ranks + AnswerFilter masking)."""
+    from regcn_tpu.data.answers import build_answer_filters_by_time
+    from regcn_tpu.data.snapshots import pad_triples
+    from regcn_tpu.train import metrics
+
+    trainer, fresh_state = tiny_experiment
+    state = fresh_state()
+    state, _ = trainer.run_epoch(state, epoch=0)
+    tc = trainer.cfg.train
+    ent_f = build_answer_filters_by_time(trainer.data.valid, trainer.num_rels, False)
+    rel_f = build_answer_filters_by_time(trainer.data.valid, trainer.num_rels, True)
+
+    fused = trainer.evaluate_fused(
+        state, trainer.train_list, trainer.valid_list, ent_f, rel_f)
+
+    # independent per-snapshot spec
+    window = list(trainer.train_list[-tc.test_history_len:])
+    ranks = {"ent_raw": [], "ent_filter": [], "rel_raw": [], "rel_filter": []}
+    for t, snap in enumerate(trainer.valid_list):
+        history = trainer._history(window)
+        triples, mask = pad_triples(snap, trainer.num_rels, tc.triple_bucket)
+        s_ob, s_rel = trainer.predict_step(state, history, triples, mask)
+        valid = mask > 0
+        s_ob = np.asarray(s_ob, np.float64)[valid]
+        s_rel = np.asarray(s_rel, np.float64)[valid]
+        tq = triples[valid]
+        ranks["ent_raw"].append(metrics.ranks_from_scores(s_ob, tq[:, 2]))
+        ranks["ent_filter"].append(
+            metrics.filtered_ranks(s_ob, tq[:, [0, 1]], tq[:, 2], ent_f[t]))
+        ranks["rel_raw"].append(metrics.ranks_from_scores(s_rel, tq[:, 1]))
+        ranks["rel_filter"].append(
+            metrics.filtered_ranks(s_rel, tq[:, [0, 2]], tq[:, 1], rel_f[t]))
+        window.pop(0)
+        window.append(snap)
+    spec = {k: metrics.stat_ranks(v) for k, v in ranks.items()}
+
+    for key in fused:
+        assert fused[key].count == spec[key].count
+        np.testing.assert_allclose(fused[key].mrr, spec[key].mrr, rtol=1e-5)
+        for k in (1, 3, 10):
+            np.testing.assert_allclose(fused[key].hits[k], spec[key].hits[k],
+                                       rtol=1e-6, atol=1e-9)
+
+
+def test_fused_eval_short_history_front_pad(tiny_experiment):
+    """A history list shorter than test_history_len must front-pad with
+    identity snapshots and still produce finite, sane metrics."""
+    trainer, fresh_state = tiny_experiment
+    state = fresh_state()
+    stats = trainer.evaluate_fused(
+        state, trainer.train_list[:1], trainer.valid_list)
+    assert 0 < stats["ent_raw"].mrr <= 1
