@@ -35,8 +35,9 @@ from regcn_tpu.train.state import TrainState, make_optimizer
 class SnapshotStore:
     """All snapshots of a split, uniformly padded, device-resident.
 
-    Degree norms are NOT stored (recomputed on device per step): that
-    keeps the store O(S * E_pad) instead of O(S * N).
+    Degree norms are stored ([S, N], a few MB at ICEWS scale) unless the
+    split is large enough that O(S * N) memory matters, in which case
+    they are recomputed on device per step (``in_deg_norm is None``).
     """
 
     src: jax.Array  # [S, E]
@@ -49,6 +50,8 @@ class SnapshotStore:
     triples: jax.Array  # [S, B, 3] with inverses
     triple_mask: jax.Array  # [S, B]
     num_nodes: int = dataclasses.field(metadata={"static": True})
+    in_deg_norm: object = None  # [S, N] or None
+    has_in_edge: object = None  # [S, N] or None
 
 
 def build_snapshot_store(
@@ -59,6 +62,7 @@ def build_snapshot_store(
     rc_bucket: int = 1024,
     triple_bucket: int = 512,
     pad_front: int = 0,
+    store_norms: bool | None = None,
 ) -> SnapshotStore:
     """``pad_front`` prepends that many EMPTY snapshots (all masks zero).
 
@@ -67,22 +71,31 @@ def build_snapshot_store(
     the window for target snapshot ``i`` is always
     ``store[i - hlen + pad_front : i + pad_front)`` — short-history
     prefixes need no separate per-step dispatch path.
+
+    ``store_norms`` precomputes per-snapshot degree norms into the store
+    ([S, N] x2) instead of recomputing them with device scatters in every
+    scan step; auto-enabled while the cost stays under ~128 MB.
     """
     E = _round_up(max(2 * len(t) for t in snap_list), edge_bucket)
     M = _round_up(max(4 * len(t) for t in snap_list), rc_bucket)
     B = _round_up(max(2 * len(t) for t in snap_list), triple_bucket)
+    S = pad_front + len(snap_list)
+    if store_norms is None:
+        store_norms = S * num_nodes * 8 <= 128 * 1024 * 1024
     fields = {k: [] for k in ("src", "dst", "rel", "edge_mask", "rc_rel", "rc_ent", "rc_mask")}
     trips, tmasks = [], []
+    norms, has_ins = [], []
     empty = np.zeros((0, 3), np.int64)
     for t in [empty] * pad_front + list(snap_list):
         if len(t) == 0:
-            sn = None
             for k in fields:
                 dtype = np.float32 if "mask" in k else np.int32
                 size = M if k.startswith("rc_") else E
                 fields[k].append(np.zeros((size,), dtype))
             trips.append(np.zeros((B, 3), np.int32))
             tmasks.append(np.zeros((B,), np.float32))
+            norms.append(np.ones((num_nodes,), np.float32))
+            has_ins.append(np.zeros((num_nodes,), np.float32))
             continue
         sn = build_snapshot(t, num_nodes, num_rels, edge_pad=E, rc_pad=M)
         for k in fields:
@@ -90,30 +103,41 @@ def build_snapshot_store(
         tt, tm = pad_triples(t, num_rels, bucket=B)
         trips.append(tt)
         tmasks.append(tm)
+        norms.append(sn.in_deg_norm)
+        has_ins.append(sn.has_in_edge)
     return SnapshotStore(
         **{k: jnp.asarray(np.stack(v)) for k, v in fields.items()},
         triples=jnp.asarray(np.stack(trips)),
         triple_mask=jnp.asarray(np.stack(tmasks)),
         num_nodes=num_nodes,
+        in_deg_norm=jnp.asarray(np.stack(norms)) if store_norms else None,
+        has_in_edge=jnp.asarray(np.stack(has_ins)) if store_norms else None,
     )
 
 
 def window_snapshot(store: SnapshotStore, start: jax.Array, hlen: int) -> Snapshot:
-    """Slice a [T, ...] history window out of the store and recompute the
-    per-step degree norms on device."""
+    """Slice a [T, ...] history window out of the store; degree norms
+    come precomputed from the store when present, else from per-step
+    device scatters."""
 
     def sl(a):
         return jax.lax.dynamic_slice_in_dim(a, start, hlen, axis=0)
 
     src, dst, rel = sl(store.src), sl(store.dst), sl(store.rel)
     emask = sl(store.edge_mask)
-    in_deg = jax.vmap(
-        lambda d, m: jax.ops.segment_sum(m, d, num_segments=store.num_nodes)
-    )(dst, emask)
+    if store.in_deg_norm is not None:
+        in_deg_norm = sl(store.in_deg_norm)
+        has_in_edge = sl(store.has_in_edge)
+    else:
+        in_deg = jax.vmap(
+            lambda d, m: jax.ops.segment_sum(m, d, num_segments=store.num_nodes)
+        )(dst, emask)
+        in_deg_norm = 1.0 / jnp.maximum(in_deg, 1.0)
+        has_in_edge = (in_deg > 0).astype(jnp.float32)
     return Snapshot(
         src=src, dst=dst, rel=rel, edge_mask=emask,
-        in_deg_norm=1.0 / jnp.maximum(in_deg, 1.0),
-        has_in_edge=(in_deg > 0).astype(jnp.float32),
+        in_deg_norm=in_deg_norm,
+        has_in_edge=has_in_edge,
         rc_rel=sl(store.rc_rel), rc_ent=sl(store.rc_ent), rc_mask=sl(store.rc_mask),
         num_edges=int(store.src.shape[1]),
         num_triples=int(store.triples.shape[1]),
