@@ -37,6 +37,7 @@ from regcn_tpu.hyperbolic import layers as HL
 from regcn_tpu.hyperbolic import ops as H
 from regcn_tpu.models.layers import gru_cell, init_gru_cell, init_rgcn_block_layer, rgcn_block_layer
 from regcn_tpu.ops.activations import l2_normalize
+from regcn_tpu.ops.remat import remat_scan_step
 from regcn_tpu.ops.segment import masked_segment_mean
 from regcn_tpu.utils.init import xavier_normal, xavier_uniform
 
@@ -326,7 +327,8 @@ def evolve(
         return (h_new, h0_new), (h_new if return_all else 0.0)
 
     T = history.src.shape[0]
-    (h_final, h0_final), ys = jax.lax.scan(step, (h, emb_rel), (jnp.arange(T), history))
+    (h_final, h0_final), ys = jax.lax.scan(
+        remat_scan_step(step), (h, emb_rel), (jnp.arange(T), history))
     return h_final, h0_final, static_emb, (ys if return_all else None)
 
 
@@ -388,7 +390,8 @@ def _evolve_tangent(
         return (v_new, h0_new), (v_new if return_all else 0.0)
 
     T = history.src.shape[0]
-    (v_final, h0_final), ys = jax.lax.scan(step, (v0, emb_rel), (jnp.arange(T), history))
+    (v_final, h0_final), ys = jax.lax.scan(
+        remat_scan_step(step), (v0, emb_rel), (jnp.arange(T), history))
     h_final = H.exp_map_zero(v_final, c)
     all_h = H.exp_map_zero(ys, c) if return_all else None
     return h_final, h0_final, static_emb, all_h
