@@ -100,8 +100,14 @@ def build_parser() -> argparse.ArgumentParser:
     hp.add_argument("--radius-epsilon", type=float, default=0.1)
     hp.add_argument("--radius-anchor-beta", type=float, default=1.0)
     hp.add_argument("--radius-msg-gamma", type=float, default=1.0)
+    hp.add_argument("--radius-alpha", type=float, default=0.5,
+                    help="degree weight in the radius target (ref :729)")
+    hp.add_argument("--radius-beta", type=float, default=0.5,
+                    help="frequency weight in the radius target (ref :730)")
     hp.add_argument("--num-heads", type=int, default=4, help="HGAT heads")
     hp.add_argument("--hyp-init-scale", type=float, default=1e-3)
+    hp.add_argument("--hyp-score-scale-init", type=float, default=1.0)
+    hp.add_argument("--hyp-score-margin-init", type=float, default=1.0)
     hp.add_argument("--use-entity-euclidean-bias", action="store_true", default=False)
     hp.add_argument("--use-relation-specific-curvature", action="store_true", default=False)
     hp.add_argument("--triple-batch-size", type=int, default=None)
@@ -146,7 +152,10 @@ def run_hyperbolic(args) -> dict:
         radius_max=args.radius_max, radius_epsilon=args.radius_epsilon,
         radius_anchor_beta=args.radius_anchor_beta,
         radius_msg_gamma=args.radius_msg_gamma, num_heads=args.num_heads,
+        radius_alpha=args.radius_alpha, radius_beta=args.radius_beta,
         hyp_init_scale=args.hyp_init_scale,
+        hyp_score_scale_init=args.hyp_score_scale_init,
+        hyp_score_margin_init=args.hyp_score_margin_init,
         use_entity_bias=args.use_entity_euclidean_bias,
         use_rel_curvature=args.use_relation_specific_curvature,
         use_est=args.use_est, est_state_alpha=args.est_state_alpha,

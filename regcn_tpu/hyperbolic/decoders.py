@@ -251,6 +251,7 @@ def hyperbolic_convtransr_score(
 def init_murp(
     rng, num_entities, num_rels_total, h_dim, c_init=0.01,
     init_scale=1e-3, use_entity_bias=False, use_rel_curvature=False,
+    score_scale_init=1.0, score_margin_init=1.0,
 ) -> Params:
     ks = jax.random.split(rng, 2)
     p: Params = {
@@ -258,8 +259,8 @@ def init_murp(
         "rot_b": jnp.zeros((h_dim,)),
         "trans_w": jax.random.uniform(ks[1], (h_dim, h_dim), minval=-init_scale, maxval=init_scale),
         "trans_b": jnp.zeros((h_dim,)),
-        "score_scale_raw": jnp.asarray(1.0),
-        "score_margin": jnp.asarray(1.0),
+        "score_scale_raw": jnp.asarray(float(score_scale_init)),
+        "score_margin": jnp.asarray(float(score_margin_init)),
     }
     if use_entity_bias:
         p["entity_bias"] = jnp.zeros((num_entities,))
@@ -358,6 +359,7 @@ def murp_rel_loss(params, entity_embedding, rel_embedding, triples, c,
 def init_roth(
     rng, num_entities, num_rels_total, h_dim, c_init=0.01,
     init_scale=1e-3, use_entity_bias=False, use_rel_curvature=False,
+    score_scale_init=1.0, score_margin_init=1.0,
 ) -> Params:
     assert h_dim % 2 == 0, "h_dim must be even for Givens rotation"
     ks = jax.random.split(rng, 4)
@@ -370,8 +372,8 @@ def init_roth(
         "reshape_b1": jnp.zeros((h_dim,)),
         "reshape_w2": jax.random.uniform(ks[3], (h_dim, h_dim), minval=-init_scale, maxval=init_scale),
         "reshape_b2": jnp.zeros((h_dim,)),
-        "score_scale_raw": jnp.asarray(1.0),
-        "score_margin": jnp.asarray(1.0),
+        "score_scale_raw": jnp.asarray(float(score_scale_init)),
+        "score_margin": jnp.asarray(float(score_margin_init)),
     }
     if use_entity_bias:
         p["entity_bias"] = jnp.zeros((num_entities,))
@@ -430,7 +432,8 @@ def roth_loss(params, entity_embedding, rel_embedding, triples, c,
     )
 
 
-def init_roth_rel(rng, num_rels_base, h_dim, init_scale=1e-3) -> Params:
+def init_roth_rel(rng, num_rels_base, h_dim, init_scale=1e-3,
+                  score_scale_init=1.0, score_margin_init=1.0) -> Params:
     assert h_dim % 2 == 0
     ks = jax.random.split(rng, 3)
     return {
@@ -440,8 +443,8 @@ def init_roth_rel(rng, num_rels_base, h_dim, init_scale=1e-3) -> Params:
         "reshape_w2": jax.random.uniform(ks[2], (h_dim, h_dim), minval=-init_scale, maxval=init_scale),
         "reshape_b2": jnp.zeros((h_dim,)),
         "rel_bias": jnp.zeros((num_rels_base * 2,)),
-        "score_scale_raw": jnp.asarray(1.0),
-        "score_margin": jnp.asarray(1.0),
+        "score_scale_raw": jnp.asarray(float(score_scale_init)),
+        "score_margin": jnp.asarray(float(score_margin_init)),
     }
 
 
@@ -474,6 +477,7 @@ def roth_rel_loss(params, entity_embedding, rel_embedding, triples, c,
 def init_atth(
     rng, num_entities, num_rels_total, h_dim, c_init=0.01,
     init_scale=1e-3, use_entity_bias=False, use_rel_curvature=False,
+    score_scale_init=1.0, score_margin_init=1.0,
 ) -> Params:
     assert h_dim % 2 == 0
     ks = jax.random.split(rng, 4)
@@ -486,8 +490,8 @@ def init_atth(
         "trans_b": jnp.zeros((h_dim,)),
         "attn_w": jax.random.uniform(ks[3], (2 * h_dim, h_dim), minval=-init_scale, maxval=init_scale),
         "attn_b": jnp.zeros((2 * h_dim,)),
-        "score_scale_raw": jnp.asarray(1.0),
-        "score_margin": jnp.asarray(1.0),
+        "score_scale_raw": jnp.asarray(float(score_scale_init)),
+        "score_margin": jnp.asarray(float(score_margin_init)),
     }
     if use_entity_bias:
         p["entity_bias"] = jnp.zeros((num_entities,))
@@ -547,7 +551,8 @@ def atth_loss(params, entity_embedding, rel_embedding, triples, c,
     )
 
 
-def init_atth_rel(rng, num_rels_base, h_dim, init_scale=1e-3) -> Params:
+def init_atth_rel(rng, num_rels_base, h_dim, init_scale=1e-3,
+                  score_scale_init=1.0, score_margin_init=1.0) -> Params:
     assert h_dim % 2 == 0
     ks = jax.random.split(rng, 3)
     return {
@@ -555,8 +560,8 @@ def init_atth_rel(rng, num_rels_base, h_dim, init_scale=1e-3) -> Params:
         "global_ref": jax.random.uniform(ks[1], (h_dim // 2,), minval=-math.pi, maxval=math.pi),
         "attn_weight": jax.random.uniform(ks[2], (2 * h_dim,), minval=-init_scale, maxval=init_scale),
         "rel_bias": jnp.zeros((num_rels_base * 2,)),
-        "score_scale_raw": jnp.asarray(1.0),
-        "score_margin": jnp.asarray(1.0),
+        "score_scale_raw": jnp.asarray(float(score_scale_init)),
+        "score_margin": jnp.asarray(float(score_margin_init)),
     }
 
 

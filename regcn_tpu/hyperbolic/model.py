@@ -92,8 +92,13 @@ class HyperbolicConfig:
     # encoder/decoder extras
     num_heads: int = 4
     hyp_init_scale: float = 1e-3
+    hyp_score_scale_init: float = 1.0
+    hyp_score_margin_init: float = 1.0
     use_entity_bias: bool = False
     use_rel_curvature: bool = False
+    # radius-target computation weights (ref:hyperbolic_main.py:729-730)
+    radius_alpha: float = 0.5
+    radius_beta: float = 0.5
     # EST (wired in regcn_tpu.hyperbolic.est)
     use_est: bool = False
     est_state_alpha: float = 0.2
@@ -167,20 +172,34 @@ def init_params(
         params["decoder_ob"] = HD.init_murp(
             ks[6], cfg.num_ents, cfg.num_rels_total, cfg.h_dim, cfg.c,
             cfg.hyp_init_scale, cfg.use_entity_bias, cfg.use_rel_curvature,
+            score_scale_init=cfg.hyp_score_scale_init,
+            score_margin_init=cfg.hyp_score_margin_init,
         )
         params["decoder_rel"] = HD.init_murp_rel(ks[7], cfg.num_rels, cfg.h_dim)
     elif cfg.decoder == "roth":
         params["decoder_ob"] = HD.init_roth(
             ks[6], cfg.num_ents, cfg.num_rels_total, cfg.h_dim, cfg.c,
             cfg.hyp_init_scale, cfg.use_entity_bias, cfg.use_rel_curvature,
+            score_scale_init=cfg.hyp_score_scale_init,
+            score_margin_init=cfg.hyp_score_margin_init,
         )
-        params["decoder_rel"] = HD.init_roth_rel(ks[7], cfg.num_rels, cfg.h_dim, cfg.hyp_init_scale)
+        params["decoder_rel"] = HD.init_roth_rel(
+            ks[7], cfg.num_rels, cfg.h_dim, cfg.hyp_init_scale,
+            score_scale_init=cfg.hyp_score_scale_init,
+            score_margin_init=cfg.hyp_score_margin_init,
+        )
     elif cfg.decoder == "atth":
         params["decoder_ob"] = HD.init_atth(
             ks[6], cfg.num_ents, cfg.num_rels_total, cfg.h_dim, cfg.c,
             cfg.hyp_init_scale, cfg.use_entity_bias, cfg.use_rel_curvature,
+            score_scale_init=cfg.hyp_score_scale_init,
+            score_margin_init=cfg.hyp_score_margin_init,
         )
-        params["decoder_rel"] = HD.init_atth_rel(ks[7], cfg.num_rels, cfg.h_dim, cfg.hyp_init_scale)
+        params["decoder_rel"] = HD.init_atth_rel(
+            ks[7], cfg.num_rels, cfg.h_dim, cfg.hyp_init_scale,
+            score_scale_init=cfg.hyp_score_scale_init,
+            score_margin_init=cfg.hyp_score_margin_init,
+        )
     else:
         raise ValueError(f"unknown decoder {cfg.decoder!r}; known: {DECODERS}")
 

@@ -97,6 +97,7 @@ class HyperbolicTrainer:
         self.test_list = split_by_time(data.test)
         self.radius_target = compute_radius_targets(
             self.train_list, data.num_nodes,
+            alpha=cfg.radius_alpha, beta=cfg.radius_beta,
             radius_min=cfg.radius_min, radius_max=cfg.radius_max,
         )
 
