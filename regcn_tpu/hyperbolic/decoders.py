@@ -259,8 +259,8 @@ def init_murp(
         "rot_b": jnp.zeros((h_dim,)),
         "trans_w": jax.random.uniform(ks[1], (h_dim, h_dim), minval=-init_scale, maxval=init_scale),
         "trans_b": jnp.zeros((h_dim,)),
-        "score_scale_raw": jnp.asarray(float(score_scale_init)),
-        "score_margin": jnp.asarray(float(score_margin_init)),
+        "score_scale_raw": jnp.asarray(float(score_scale_init), jnp.float32),
+        "score_margin": jnp.asarray(float(score_margin_init), jnp.float32),
     }
     if use_entity_bias:
         p["entity_bias"] = jnp.zeros((num_entities,))
@@ -372,8 +372,8 @@ def init_roth(
         "reshape_b1": jnp.zeros((h_dim,)),
         "reshape_w2": jax.random.uniform(ks[3], (h_dim, h_dim), minval=-init_scale, maxval=init_scale),
         "reshape_b2": jnp.zeros((h_dim,)),
-        "score_scale_raw": jnp.asarray(float(score_scale_init)),
-        "score_margin": jnp.asarray(float(score_margin_init)),
+        "score_scale_raw": jnp.asarray(float(score_scale_init), jnp.float32),
+        "score_margin": jnp.asarray(float(score_margin_init), jnp.float32),
     }
     if use_entity_bias:
         p["entity_bias"] = jnp.zeros((num_entities,))
@@ -443,8 +443,8 @@ def init_roth_rel(rng, num_rels_base, h_dim, init_scale=1e-3,
         "reshape_w2": jax.random.uniform(ks[2], (h_dim, h_dim), minval=-init_scale, maxval=init_scale),
         "reshape_b2": jnp.zeros((h_dim,)),
         "rel_bias": jnp.zeros((num_rels_base * 2,)),
-        "score_scale_raw": jnp.asarray(float(score_scale_init)),
-        "score_margin": jnp.asarray(float(score_margin_init)),
+        "score_scale_raw": jnp.asarray(float(score_scale_init), jnp.float32),
+        "score_margin": jnp.asarray(float(score_margin_init), jnp.float32),
     }
 
 
@@ -490,8 +490,8 @@ def init_atth(
         "trans_b": jnp.zeros((h_dim,)),
         "attn_w": jax.random.uniform(ks[3], (2 * h_dim, h_dim), minval=-init_scale, maxval=init_scale),
         "attn_b": jnp.zeros((2 * h_dim,)),
-        "score_scale_raw": jnp.asarray(float(score_scale_init)),
-        "score_margin": jnp.asarray(float(score_margin_init)),
+        "score_scale_raw": jnp.asarray(float(score_scale_init), jnp.float32),
+        "score_margin": jnp.asarray(float(score_margin_init), jnp.float32),
     }
     if use_entity_bias:
         p["entity_bias"] = jnp.zeros((num_entities,))
@@ -560,8 +560,8 @@ def init_atth_rel(rng, num_rels_base, h_dim, init_scale=1e-3,
         "global_ref": jax.random.uniform(ks[1], (h_dim // 2,), minval=-math.pi, maxval=math.pi),
         "attn_weight": jax.random.uniform(ks[2], (2 * h_dim,), minval=-init_scale, maxval=init_scale),
         "rel_bias": jnp.zeros((num_rels_base * 2,)),
-        "score_scale_raw": jnp.asarray(float(score_scale_init)),
-        "score_margin": jnp.asarray(float(score_margin_init)),
+        "score_scale_raw": jnp.asarray(float(score_scale_init), jnp.float32),
+        "score_margin": jnp.asarray(float(score_margin_init), jnp.float32),
     }
 
 

@@ -60,8 +60,8 @@ def init_est_params(rng: jax.Array, cfg) -> Params:
     ks = jax.random.split(rng, 10)
     p: Params = {
         # H-PES gate (ref :71-72)
-        "slow_threshold": jnp.asarray(0.5),
-        "slow_scale": jnp.asarray(2.0),
+        "slow_threshold": jnp.asarray(0.5, jnp.float32),
+        "slow_scale": jnp.asarray(2.0, jnp.float32),
         # H-TDP MLP 1 -> d -> d (ref :185-191); xavier weights, torch-default biases
         "tdp_w1": xavier_uniform(ks[0], (d, 1)),
         "tdp_b1": torch_linear_uniform(ks[1], (d,), 1),
@@ -170,8 +170,14 @@ class TemporalIndex:
             for h_id, r_id, t_id in np.asarray(snapshot)[:, :3]:
                 self._index.setdefault(int(h_id), []).append((t, int(r_id), int(t_id)))
                 self._index.setdefault(int(t_id), []).append((t, int(r_id) + num_rels, int(h_id)))
-        for e in self._index:
-            self._index[e].sort(key=lambda x: x[0])
+        # time-sorted per-entity arrays: query() is a searchsorted, which
+        # makes whole-split precomputation (ESTStore) cheap on the host
+        self._arrays = {}
+        for e, events in self._index.items():
+            events.sort(key=lambda x: x[0])
+            arr = np.asarray(events, dtype=np.int64).reshape(-1, 3)
+            self._arrays[e] = (arr[:, 0], arr[:, 1].astype(np.int32),
+                               arr[:, 2].astype(np.int32))
         self._built = True
 
     def query(self, entity_ids, query_time: int):
@@ -182,13 +188,19 @@ class TemporalIndex:
         dts = np.zeros((B, K), np.float32)
         msk = np.zeros((B, K), np.float32)
         for i, eid in enumerate(entity_ids):
-            events = self._index.get(int(eid), [])
-            valid = [(t, r, nb) for t, r, nb in events if t < query_time]
-            for j, (t, r, nb) in enumerate(valid[-K:]):
-                nb_e[i, j] = nb
-                nb_r[i, j] = r
-                dts[i, j] = float(query_time - t)
-                msk[i, j] = 1.0
+            ev = self._arrays.get(int(eid))
+            if ev is None:
+                continue
+            times, rels, nbs = ev
+            end = int(np.searchsorted(times, query_time, side="left"))
+            lo = max(0, end - K)
+            n = end - lo
+            if n == 0:
+                continue
+            nb_e[i, :n] = nbs[lo:end]
+            nb_r[i, :n] = rels[lo:end]
+            dts[i, :n] = (query_time - times[lo:end]).astype(np.float32)
+            msk[i, :n] = 1.0
         return nb_e, nb_r, dts, msk
 
 

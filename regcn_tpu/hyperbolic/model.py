@@ -149,7 +149,7 @@ def init_params(
         "radius_mlp_b": jnp.zeros((1,)),
     }
     if cfg.learn_curvature:
-        params["log_c"] = jnp.asarray(math.log(cfg.c))
+        params["log_c"] = jnp.asarray(math.log(cfg.c), jnp.float32)
 
     rt = (
         jnp.asarray(radius_target)

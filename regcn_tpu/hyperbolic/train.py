@@ -5,7 +5,11 @@ frequency radius targets, dual Riemannian/Euclidean optimizer, curvature
 warmup scheduling (as a traced scalar — no recompiles), snapshot-inner
 triple mini-batching with gradient accumulation, EST wiring (ETNR
 retrieval + H-PES state threading + TANS masks), early stopping, and the
-fused whole-epoch path for the non-EST configuration.
+fused whole-epoch path. EST retrieval and TANS masks are dataset-only
+functions, so they are precomputed per split into a device-resident
+:class:`ESTStore` and the EST configuration runs through the same fused
+epoch/eval scans as the base model (the reference re-queries the host
+index every step).
 """
 
 from __future__ import annotations
@@ -76,6 +80,24 @@ class HypTrainState:
     step: jax.Array
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ESTStore:
+    """Per-snapshot ETNR retrieval results and TANS masks for a whole
+    split, device-resident — the EST host work (index queries, true-tail
+    filters) depends only on the dataset, so it is precomputed once and
+    the EST configuration trains/evaluates through the same fused
+    whole-epoch scans as the base model (the reference re-queries the
+    index per step, ref:hyperbolic_main.py:585-604)."""
+
+    nb_ents: object = None  # [T, B, K] int32
+    nb_rels: object = None  # [T, B, K] int32
+    deltas: object = None  # [T, B, K] f32
+    event_mask: object = None  # [T, B, K] f32
+    tans_rows: object = None  # [T, M] int32 (row B == dropped)
+    tans_cols: object = None  # [T, M] int32
+
+
 class HyperbolicTrainer:
     def __init__(
         self,
@@ -124,6 +146,7 @@ class HyperbolicTrainer:
 
         self._history_cache: Dict = {}
         self._store = None
+        self._train_est_store = None
         self._build_steps()
 
     # --------------------------------------------------------------- jitted
@@ -195,35 +218,69 @@ class HyperbolicTrainer:
 
         self.rank_step = jax.jit(rank_step)
 
-        # fused whole-epoch path (non-EST only: EST needs host retrieval);
-        # the store is front-padded with hlen empty identity snapshots so
-        # short-history prefix indices run in the same scan
+        # fused whole-epoch path; the store is front-padded with hlen empty
+        # identity snapshots so short-history prefix indices run in the same
+        # scan. EST retrieval / TANS masks come precomputed in an ESTStore
+        # (they depend only on the dataset), sliced per scan step.
         hlen = tc.train_history_len
 
-        def epoch_fn(state: HypTrainState, store: SnapshotStore, order, cmax):
+        def _rb_at(est: ESTStore, i, mask):
+            if not cfg.use_est or est is None or est.nb_ents is None:
+                return None
+            return est_mod.RetrievalBatch(
+                nb_ents=est.nb_ents[i], nb_rels=est.nb_rels[i],
+                deltas=est.deltas[i], event_mask=est.event_mask[i],
+                row_mask=mask,
+            )
+
+        def epoch_fn(state: HypTrainState, store: SnapshotStore,
+                     est: Optional[ESTStore], order, cmax):
             def body(st, i):
                 history = window_snapshot(store, i, hlen)  # = [i-hlen+pad_front, ...)
                 triples = store.triples[i + hlen]
                 mask = store.triple_mask[i + hlen]
-                return train_step(st, history, triples, mask, cmax)
+                rb = _rb_at(est, i, mask)
+                tans = (
+                    (est.tans_rows[i], est.tans_cols[i])
+                    if cfg.use_time_aware_negative and est is not None
+                    and est.tans_rows is not None else None
+                )
+                return train_step(st, history, triples, mask, cmax, rb, tans)
 
             return jax.lax.scan(body, state, order)
 
-        if not cfg.use_est:
-            self.epoch_fn = jax.jit(epoch_fn, donate_argnums=(0,))
-        else:
-            self.epoch_fn = None
+        self.epoch_fn = jax.jit(epoch_fn, donate_argnums=(0,))
 
-        # fused whole-split evaluation (one device call per eval split)
-        from regcn_tpu.train.epoch import make_eval_fn
+        # fused whole-split evaluation (one device call per eval split);
+        # EST retrieval rides in an ESTStore aligned with the eval store
+        from regcn_tpu.train import metrics as _metrics
 
-        def eval_predict(state, history, triples, mask):
-            return predict_step(state, history, triples, mask)
+        ehlen = tc.test_history_len
 
-        self.eval_fn = (
-            make_eval_fn(eval_predict, tc.test_history_len)
-            if not cfg.use_est else None
-        )
+        def eval_fn(state, store: SnapshotStore, est: Optional[ESTStore],
+                    ent_rows, ent_cols, rel_rows, rel_cols):
+            n_eval = ent_rows.shape[0]
+
+            def body(_, inputs):
+                t, er, ec, rr, rc = inputs
+                history = window_snapshot(store, t, ehlen)
+                triples = store.triples[t + ehlen]
+                mask = store.triple_mask[t + ehlen]
+                rb = _rb_at(est, t, mask)
+                s_ob, s_rel = predict_step(state, history, triples, mask, rb)
+                return 0, (
+                    _metrics.device_ranks(s_ob, triples[:, 2]),
+                    _metrics.device_filtered_ranks(s_ob, triples[:, 2], er, ec),
+                    _metrics.device_ranks(s_rel, triples[:, 1]),
+                    _metrics.device_filtered_ranks(s_rel, triples[:, 1], rr, rc),
+                )
+
+            ts = jnp.arange(n_eval, dtype=jnp.int32)
+            _, ranks = jax.lax.scan(
+                body, 0, (ts, ent_rows, ent_cols, rel_rows, rel_cols))
+            return ranks
+
+        self.eval_fn = jax.jit(eval_fn)
         self._eval_cache: Dict = {}
 
     # ----------------------------------------------------------------- state
@@ -270,6 +327,46 @@ class HyperbolicTrainer:
             row_mask=jnp.asarray(mask),
         )
 
+    def _build_est_store(self, triples_all, masks_all, times,
+                         with_tans: bool) -> Optional[ESTStore]:
+        """Precompute per-snapshot ETNR retrieval (and TANS masks for
+        training) for a whole split — identical arrays to what the
+        per-step path queries, stacked [T, ...] and device-resident."""
+        cfg = self.cfg
+        want_est = cfg.use_est and self.temporal_index is not None
+        want_tans = with_tans and cfg.use_time_aware_negative and self.true_tails is not None
+        if not (want_est or want_tans):
+            return None
+        T, B = masks_all.shape
+        out = {}
+        if want_est:
+            K = cfg.est_history_len
+            nb_e = np.zeros((T, B, K), np.int32)
+            nb_r = np.zeros((T, B, K), np.int32)
+            dts = np.zeros((T, B, K), np.float32)
+            msk = np.zeros((T, B, K), np.float32)
+            for t in range(T):
+                if masks_all[t].sum() == 0:
+                    continue
+                nb_e[t], nb_r[t], dts[t], msk[t] = self.temporal_index.query(
+                    triples_all[t][:, 0], times[t])
+            out.update(nb_ents=jnp.asarray(nb_e), nb_rels=jnp.asarray(nb_r),
+                       deltas=jnp.asarray(dts), event_mask=jnp.asarray(msk))
+        if want_tans:
+            rcs = [
+                est_mod.tans_mask_coo(triples_all[t], masks_all[t],
+                                      self.true_tails, pad_bucket=512)
+                for t in range(T)
+            ]
+            M = max(len(r) for r, _ in rcs)
+            rows = np.full((T, M), B, np.int32)
+            cols = np.zeros((T, M), np.int32)
+            for t, (r, c) in enumerate(rcs):
+                rows[t, : len(r)] = r
+                cols[t, : len(c)] = c
+            out.update(tans_rows=jnp.asarray(rows), tans_cols=jnp.asarray(cols))
+        return ESTStore(**out)
+
     # ----------------------------------------------------------------- train
     def run_epoch(self, state: HypTrainState, epoch: int) -> Tuple[HypTrainState, Dict[str, float]]:
         tc, cfg = self.tc, self.cfg
@@ -277,7 +374,7 @@ class HyperbolicTrainer:
         sums = {"entity": 0.0, "relation": 0.0, "static": 0.0, "radius": 0.0}
         n = 0
 
-        use_fused = self.epoch_fn is not None and not self.triple_batch_size
+        use_fused = not self.triple_batch_size
         hlen = tc.train_history_len
         idx = list(range(1, len(self.train_list)))
         random.Random(tc.seed + epoch).shuffle(idx)
@@ -329,7 +426,14 @@ class HyperbolicTrainer:
                     edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
                     triple_bucket=tc.triple_bucket, pad_front=hlen,
                 )
-            state, loss_stack = self.epoch_fn(state, self._store, jnp.asarray(full), cmax)
+                triples_all = np.asarray(self._store.triples[hlen:])
+                masks_all = np.asarray(self._store.triple_mask[hlen:])
+                self._train_est_store = self._build_est_store(
+                    triples_all, masks_all, times=list(range(len(triples_all))),
+                    with_tans=True,
+                )
+            state, loss_stack = self.epoch_fn(
+                state, self._store, self._train_est_store, jnp.asarray(full), cmax)
             # ONE device->host round trip for all loss components (through
             # a remote tunnel, per-scalar float() syncs dominate otherwise)
             loss_host = jax.device_get(loss_stack)
@@ -341,14 +445,14 @@ class HyperbolicTrainer:
 
     # ------------------------------------------------------------------ eval
     def evaluate_fused(self, state, history_list, eval_list, ent_filters=None,
-                       rel_filters=None, cache_key=None):
+                       rel_filters=None, time_offset: int = 0, cache_key=None):
         """Whole-split rolling-window evaluation as ONE device call."""
         from regcn_tpu.train.epoch import build_eval_store, stack_eval_filters
 
         tc = self.tc
         hlen = tc.test_history_len
         if cache_key is not None and cache_key in self._eval_cache:
-            store, er, ec, rr, rc, tmask = self._eval_cache[cache_key]
+            store, est, er, ec, rr, rc, tmask = self._eval_cache[cache_key]
         else:
             store = build_eval_store(
                 history_list, eval_list, self.num_nodes, self.num_rels, hlen,
@@ -360,9 +464,14 @@ class HyperbolicTrainer:
             rr, rc = stack_eval_filters(rel_filters, eval_list, self.num_rels,
                                         tc.triple_bucket, rel_mode=True)
             tmask = np.asarray(store.triple_mask)[hlen:] > 0  # [T, B] host
+            est = self._build_est_store(
+                np.asarray(store.triples[hlen:]), np.asarray(store.triple_mask[hlen:]),
+                times=[time_offset + t for t in range(len(eval_list))],
+                with_tans=False,
+            )
             if cache_key is not None:
-                self._eval_cache[cache_key] = (store, er, ec, rr, rc, tmask)
-        ranks = jax.device_get(self.eval_fn(state, store, er, ec, rr, rc))
+                self._eval_cache[cache_key] = (store, est, er, ec, rr, rc, tmask)
+        ranks = jax.device_get(self.eval_fn(state, store, est, er, ec, rr, rc))
         out = {}
         for key, arr in zip(("ent_raw", "ent_filter", "rel_raw", "rel_filter"),
                             ranks):
@@ -376,7 +485,9 @@ class HyperbolicTrainer:
                  multi_step: bool = False, topk: int = 10, cache_key=None):
         if not multi_step and self.eval_fn is not None:
             return self.evaluate_fused(state, history_list, eval_list,
-                                       ent_filters, rel_filters, cache_key)
+                                       ent_filters, rel_filters,
+                                       time_offset=time_offset,
+                                       cache_key=cache_key)
         tc = self.tc
         window = list(history_list[-tc.test_history_len:])
         ranks = {"ent_raw": [], "ent_filter": [], "rel_raw": [], "rel_filter": []}

@@ -309,3 +309,79 @@ def test_front_padded_fused_epoch_matches_per_step(tiny_data):
     for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-3)
+
+
+def test_est_fused_epoch_and_eval_match_per_step(tiny_data):
+    """The precomputed ESTStore path (fused epoch/eval scans) must
+    reproduce the per-step host-retrieval path exactly: same retrieval
+    arrays, same TANS masks, same losses/params/ranks."""
+    from regcn_tpu.data.answers import build_answer_filters_by_time
+    from regcn_tpu.hyperbolic import est as est_mod
+    from regcn_tpu.train import metrics
+
+    cfg = _cfg(tiny_data, use_est=True, use_time_aware_negative=True,
+               est_history_len=8, input_dropout=0.0, hidden_dropout=0.0,
+               feat_dropout=0.0)
+    tc = _tc()
+    trainer = HyperbolicTrainer(cfg, tc, tiny_data)
+
+    import random as _random
+
+    idx = list(range(1, len(trainer.train_list)))
+    _random.Random(tc.seed + 0).shuffle(idx)
+    cmax = jnp.asarray(trainer._curvature_max(0), jnp.float32)
+
+    # per-step: host retrieval + per-snapshot TANS COO each step
+    state_a = trainer.init_state(jax.random.PRNGKey(0))
+    losses_a = []
+    for i in idx:
+        lo = max(0, i - tc.train_history_len)
+        history = trainer._history(trainer.train_list[lo:i], cache_key=(lo, i))
+        triples, mask = pad_triples(trainer.train_list[i], trainer.num_rels,
+                                    tc.triple_bucket)
+        rb = trainer._retrieval(triples, mask, i)
+        rows, cols = est_mod.tans_mask_coo(triples, mask, trainer.true_tails)
+        state_a, losses = trainer.train_step(
+            state_a, history, jnp.asarray(triples), jnp.asarray(mask), cmax,
+            rb, (jnp.asarray(rows), jnp.asarray(cols)))
+        losses_a.append(float(losses["entity"]))
+
+    # fused: run_epoch builds the ESTStore and scans the whole epoch
+    state_b = trainer.init_state(jax.random.PRNGKey(0))
+    state_b, mean_losses = trainer.run_epoch(state_b, 0)
+    np.testing.assert_allclose(
+        mean_losses["entity"], np.mean(losses_a), rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(state_b.params["dynamic_emb"]),
+        np.asarray(state_a.params["dynamic_emb"]), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(state_b.est_state.slow),
+        np.asarray(state_a.est_state.slow), atol=2e-5)
+
+    # eval: fused ESTStore ranks vs per-snapshot host retrieval ranks
+    ent_f = build_answer_filters_by_time(tiny_data.valid, trainer.num_rels, False)
+    rel_f = build_answer_filters_by_time(tiny_data.valid, trainer.num_rels, True)
+    t_off = len(trainer.train_list)
+    fused = trainer.evaluate_fused(state_b, trainer.train_list,
+                                   trainer.valid_list, ent_f, rel_f,
+                                   time_offset=t_off)
+    window = list(trainer.train_list[-tc.test_history_len:])
+    ranks = {"ent_raw": [], "ent_filter": []}
+    for t, snap in enumerate(trainer.valid_list):
+        history = trainer._history(window)
+        triples, mask = pad_triples(snap, trainer.num_rels, tc.triple_bucket)
+        rb = trainer._retrieval(triples, mask, t_off + t)
+        s_ob, _ = trainer.predict_step(
+            state_b, history, jnp.asarray(triples), jnp.asarray(mask), rb)
+        valid = mask > 0
+        s_ob = np.asarray(s_ob, np.float64)[valid]
+        tq = triples[valid]
+        ranks["ent_raw"].append(metrics.ranks_from_scores(s_ob, tq[:, 2]))
+        ranks["ent_filter"].append(
+            metrics.filtered_ranks(s_ob, tq[:, [0, 1]], tq[:, 2], ent_f[t]))
+        window.pop(0)
+        window.append(snap)
+    spec = {k: metrics.stat_ranks(v) for k, v in ranks.items()}
+    for key in spec:
+        assert fused[key].count == spec[key].count
+        np.testing.assert_allclose(fused[key].mrr, spec[key].mrr, rtol=1e-5)
