@@ -4,16 +4,28 @@ Parity with ref:hisres_src/get_new_history.py:99-126 (offline cumulative
 sparse history matrices) and their consumption in
 ref:hisres_src/hisres_main.py:317-353:
 
-- tail history: cumulative CSR of shape (E * 2R, E) counting how often
-  (s, r) -> o appeared at or before each timestamp;
-- relation history: per-timestamp CSR (E * E, 2R); queries use the
-  windowed difference (last ``history_len`` steps).
+- tail history: which (s, r) -> o triples appeared at or before each
+  timestamp (the reference's cumulative CSR of shape (E * 2R, E));
+- relation history: which relations were seen between (s, o) in the last
+  ``history_len`` snapshots before t (the reference's per-timestamp
+  (E * E, 2R) CSRs, summed over the window).
 
-Query-conditioned vocabularies are one-hot rows gathered for a batch of
-(s, r) / (s, o) keys. The store also emits the padded flat edge arrays
-of the query-conditioned history graph directly from the sparse rows
-(replacing the reference's per-query Python loop + dense ``todense()``
-round trip at ref:hisres_rgcn/utils.py:490-604).
+The reference materializes scipy CSR matrices per timestamp; at
+ICEWS14s scale those have 3.3M-row (tail) and 50M-row (rel) indptr
+arrays PER TIMESTAMP — hundreds of MB each, unusable. Here the same
+information lives in flat event tables sorted by query key, and every
+query is a vectorized ``searchsorted`` block gather:
+
+- ``_tail_*``: unique (s*2R + r, o) pairs with their first-occurrence
+  time, sorted by key — cumulative membership is ``t_first < t``;
+- ``_rel_*``: per-snapshot (s*E + o, r) pairs with their time, sorted by
+  (key, time) — windowed membership is ``t - hlen <= time < t``.
+
+Query-conditioned vocabularies are one-hot rows scattered from the
+gathered blocks. The store also emits the padded flat edge arrays of the
+query-conditioned history graph directly (replacing the reference's
+per-query Python loop + dense ``todense()`` round trip at
+ref:hisres_rgcn/utils.py:490-604).
 """
 
 from __future__ import annotations
@@ -22,102 +34,194 @@ import os
 from typing import List, Optional, Tuple
 
 import numpy as np
-import scipy.sparse as sp
 
 from regcn_tpu.data.snapshots import Snapshot, _round_up
 
 
+def _block_gather(keys_sorted: np.ndarray, query_keys: np.ndarray,
+                  lo_extra=None, hi_extra=None):
+    """For each query key, the [lo, hi) block in a key-sorted table.
+
+    Returns (rows, idx): for every table entry that matches some query
+    key, the query row it belongs to and its table index. Duplicated
+    query keys each get their own copy (matches the reference's per-row
+    one-hot gather).
+    """
+    lo = np.searchsorted(keys_sorted, query_keys, side="left")
+    hi = np.searchsorted(keys_sorted, query_keys, side="right")
+    counts = hi - lo
+    rows = np.repeat(np.arange(len(query_keys)), counts)
+    # index within each block: arange over concatenated blocks
+    total = int(counts.sum())
+    if total == 0:
+        return rows, np.zeros(0, np.int64)
+    starts = np.repeat(lo, counts)
+    offsets = np.arange(total) - np.repeat(
+        np.cumsum(counts) - counts, counts)
+    return rows, starts + offsets
+
+
 class HistoryStore:
-    """Cumulative sparse (s,r)->o and windowed (s,o)->r history."""
+    """Cumulative (s,r)->o and windowed (s,o)->r history over flat
+    sorted event tables."""
 
     def __init__(self, num_nodes: int, num_rels: int, history_len: int = 3):
         self.num_nodes = num_nodes
         self.num_rels = num_rels  # base R
         self.history_len = history_len
-        self.tail_cum: List[sp.csr_matrix] = []  # cumulative, per timestamp
-        self.rel_step: List[sp.csr_matrix] = []  # per-timestamp only
+        self.num_times = 0
+        # tail table: unique (s*2R+r) keys, candidate o, first-seen time
+        self._tail_key = np.zeros(0, np.int64)
+        self._tail_o = np.zeros(0, np.int32)
+        self._tail_tfirst = np.zeros(0, np.int64)
+        # rel table: (s*E+o) keys, relation, time; sorted by (key, time)
+        self._rel_key = np.zeros(0, np.int64)
+        self._rel_r = np.zeros(0, np.int32)
+        self._rel_t = np.zeros(0, np.int64)
 
     def build(self, snapshot_list: List[np.ndarray]) -> "HistoryStore":
-        E, R2 = self.num_nodes, 2 * self.num_rels
-        tail_acc = sp.csr_matrix((E * R2, E), dtype=np.float32)
-        self.tail_cum, self.rel_step = [], []
-        for snap in snapshot_list:
-            arr = np.asarray(snap)[:, :3]
+        E, R, R2 = self.num_nodes, self.num_rels, 2 * self.num_rels
+        self.num_times = len(snapshot_list)
+        keys, os_, ts = [], [], []
+        rkeys, rrs, rts = [], [], []
+        for t, snap in enumerate(snapshot_list):
+            arr = np.asarray(snap)[:, :3].astype(np.int64)
+            if len(arr) == 0:
+                continue
             inv = arr[:, [2, 1, 0]].copy()
-            inv[:, 1] += self.num_rels
+            inv[:, 1] += R
             full = np.concatenate([arr, inv])
-            row = full[:, 0] * R2 + full[:, 1]
-            data = np.ones(len(row), np.float32)
-            tail_acc = tail_acc + sp.csr_matrix(
-                (data, (row, full[:, 2])), shape=(E * R2, E)
-            )
-            self.tail_cum.append(tail_acc.copy())
-            rrow = full[:, 0] * E + full[:, 2]
-            self.rel_step.append(
-                sp.csr_matrix((data, (rrow, full[:, 1])), shape=(E * E, R2))
-            )
+            keys.append(full[:, 0] * R2 + full[:, 1])
+            os_.append(full[:, 2])
+            ts.append(np.full(len(full), t, np.int64))
+            rkeys.append(full[:, 0] * E + full[:, 2])
+            rrs.append(full[:, 1])
+            rts.append(np.full(len(full), t, np.int64))
+        if keys:
+            key = np.concatenate(keys)
+            o = np.concatenate(os_)
+            tt = np.concatenate(ts)
+            # first occurrence per unique (key, o): sort by (key, o, t)
+            order = np.lexsort((tt, o, key))
+            key, o, tt = key[order], o[order], tt[order]
+            first = np.ones(len(key), bool)
+            first[1:] = (key[1:] != key[:-1]) | (o[1:] != o[:-1])
+            self._tail_key = key[first]
+            self._tail_o = o[first].astype(np.int32)
+            self._tail_tfirst = tt[first]
+
+            rk = np.concatenate(rkeys)
+            rr = np.concatenate(rrs)
+            rt = np.concatenate(rts)
+            order = np.lexsort((rt, rk))
+            self._rel_key, self._rel_r, self._rel_t = (
+                rk[order], rr[order].astype(np.int32), rt[order])
         return self
 
     # ------------------------------------------------------------- persist
     def save(self, directory: str):
-        """Write per-timestamp npz files (tool parity with get_new_history)."""
+        """Write per-timestamp npz CSRs (artifact parity with the
+        reference's get_new_history.py tool)."""
+        import scipy.sparse as sp
+
         os.makedirs(directory, exist_ok=True)
-        for t, m in enumerate(self.tail_cum):
+        E, R2 = self.num_nodes, 2 * self.num_rels
+        for t in range(self.num_times):
+            sel = self._tail_tfirst <= t
+            m = sp.csr_matrix(
+                (np.ones(int(sel.sum()), np.float32),
+                 (self._tail_key[sel], self._tail_o[sel])),
+                shape=(E * R2, E))
             sp.save_npz(os.path.join(directory, f"tail_history_{t}.npz"), m)
-        for t, m in enumerate(self.rel_step):
+            sel = self._rel_t == t
+            m = sp.csr_matrix(
+                (np.ones(int(sel.sum()), np.float32),
+                 (self._rel_key[sel], self._rel_r[sel])),
+                shape=(E * E, R2))
             sp.save_npz(os.path.join(directory, f"rel_history_{t}.npz"), m)
 
     @classmethod
     def load(cls, directory: str, num_nodes: int, num_rels: int,
              num_times: int, history_len: int = 3) -> "HistoryStore":
+        """Load the reference tool's per-timestamp npz artifacts."""
+        import scipy.sparse as sp
+
         store = cls(num_nodes, num_rels, history_len)
+        store.num_times = num_times
+        tk, to, tf = [], [], []
+        rk, rr, rt = [], [], []
+        prev_nnz_keys = None
         for t in range(num_times):
-            store.tail_cum.append(
-                sp.load_npz(os.path.join(directory, f"tail_history_{t}.npz")))
-            store.rel_step.append(
-                sp.load_npz(os.path.join(directory, f"rel_history_{t}.npz")))
+            m = sp.load_npz(
+                os.path.join(directory, f"tail_history_{t}.npz")).tocoo()
+            pairs = set(zip(m.row.tolist(), m.col.tolist()))
+            new = pairs - prev_nnz_keys if prev_nnz_keys is not None else pairs
+            for kk, oo in new:
+                tk.append(kk)
+                to.append(oo)
+                tf.append(t)
+            prev_nnz_keys = pairs
+            m = sp.load_npz(
+                os.path.join(directory, f"rel_history_{t}.npz")).tocoo()
+            rk.extend(m.row.tolist())
+            rr.extend(m.col.tolist())
+            rt.extend([t] * m.nnz)
+        if tk:
+            key = np.asarray(tk, np.int64)
+            o = np.asarray(to, np.int32)
+            tf_ = np.asarray(tf, np.int64)
+            order = np.lexsort((o, key))
+            store._tail_key, store._tail_o, store._tail_tfirst = (
+                key[order], o[order], tf_[order])
+        if rk:
+            k = np.asarray(rk, np.int64)
+            r = np.asarray(rr, np.int32)
+            t_ = np.asarray(rt, np.int64)
+            order = np.lexsort((t_, k))
+            store._rel_key, store._rel_r, store._rel_t = k[order], r[order], t_[order]
         return store
 
     # -------------------------------------------------------------- queries
-    def _tail_matrix(self, t: int) -> Optional[sp.csr_matrix]:
-        """History strictly before snapshot t (ref main :326-330)."""
-        if t <= 0 or not self.tail_cum:
-            return None
-        return self.tail_cum[min(t - 1, len(self.tail_cum) - 1)]
+    def _tail_pairs(self, triples: np.ndarray, t: int):
+        """(rows, candidate o) of history tails for each (s, r) query row
+        strictly before snapshot t (ref main :326-330)."""
+        if t <= 0 or len(self._tail_key) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int32)
+        t_eff = min(t - 1, self.num_times - 1)
+        q = triples[:, 0].astype(np.int64) * (2 * self.num_rels) + triples[:, 1]
+        rows, idx = _block_gather(self._tail_key, q)
+        keep = self._tail_tfirst[idx] <= t_eff
+        return rows[keep], self._tail_o[idx[keep]]
 
     def tail_vocab(self, triples: np.ndarray, t: int) -> np.ndarray:
         """One-hot [B, E] of known tails for each (s, r) row (rel ids may
         already include inverses)."""
-        B = len(triples)
-        out = np.zeros((B, self.num_nodes), np.float32)
-        m = self._tail_matrix(t)
-        if m is None:
-            return out
-        idx = triples[:, 0] * (2 * self.num_rels) + triples[:, 1]
-        sub = m[idx]
-        rows, cols = sub.nonzero()
+        out = np.zeros((len(triples), self.num_nodes), np.float32)
+        rows, cols = self._tail_pairs(triples, t)
         out[rows, cols] = 1.0
         return out
 
-    def rel_vocab(self, triples: np.ndarray, t: int) -> np.ndarray:
-        """One-hot [B, 2R] of relations seen between (s, o) in the last
+    def rel_pairs(self, triples: np.ndarray, t: int):
+        """(rows, relation) pairs seen between (s, o) in the last
         ``history_len`` snapshots before t (ref main :336-350)."""
-        R2 = 2 * self.num_rels
-        B = len(triples)
-        out = np.zeros((B, R2), np.float32)
-        lo = max(t - self.history_len, 0)
-        if t <= 0 or not self.rel_step:
-            return out
-        window = self.rel_step[lo:t]
-        if not window:
-            return out
-        acc = window[0].copy()
-        for m in window[1:]:
-            acc = acc + m
-        idx = triples[:, 0] * self.num_nodes + triples[:, 2]
-        sub = acc[idx]
-        rows, cols = sub.nonzero()
-        out[rows, cols] = 1.0
+        if t <= 0 or len(self._rel_key) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int32)
+        lo_t = max(t - self.history_len, 0)
+        q = triples[:, 0].astype(np.int64) * self.num_nodes + triples[:, 2]
+        rows, idx = _block_gather(self._rel_key, q)
+        keep = (self._rel_t[idx] >= lo_t) & (self._rel_t[idx] < t)
+        rows, rels = rows[keep], self._rel_r[idx[keep]]
+        # dedup (row, rel) — one-hot semantics
+        if len(rows):
+            u = np.unique(rows * (2 * self.num_rels) + rels)
+            rows = u // (2 * self.num_rels)
+            rels = (u % (2 * self.num_rels)).astype(np.int32)
+        return rows, rels
+
+    def rel_vocab(self, triples: np.ndarray, t: int) -> np.ndarray:
+        out = np.zeros((len(triples), 2 * self.num_rels), np.float32)
+        rows, rels = self.rel_pairs(triples, t)
+        out[rows, rels] = 1.0
         return out
 
     # --------------------------------------------------- history graph build
@@ -129,6 +233,7 @@ class HistoryStore:
         inv: bool = False,
         edge_bucket: int = 1024,
         max_edges: Optional[int] = None,
+        edge_pad: Optional[int] = None,
     ) -> Snapshot:
         """Query-conditioned history graph as padded flat edge arrays.
 
@@ -138,24 +243,16 @@ class HistoryStore:
         """
         E = self.num_nodes
         R = self.num_rels
-        m = self._tail_matrix(t)
-        srcs, dsts, rels = [], [], []
-        if m is not None:
-            idx = triples[:, 0] * (2 * R) + triples[:, 1]
-            sub = m[idx]
-            rows, cols = sub.nonzero()
-            valid = mask[rows] > 0
-            rows, cols = rows[valid], cols[valid]
-            s = triples[rows, 0]
-            r = triples[rows, 1]
-            o = cols
-            srcs = [s, o]
-            dsts = [o, s]
-            rels = [r, r - R if inv else r + R]
-        if len(srcs):
-            src = np.concatenate(srcs).astype(np.int32)
-            dst = np.concatenate(dsts).astype(np.int32)
-            rel = np.concatenate(rels).astype(np.int32)
+        rows, cols = self._tail_pairs(triples, t)
+        valid = mask[rows] > 0
+        rows, cols = rows[valid], cols[valid]
+        s = triples[rows, 0]
+        r = triples[rows, 1]
+        o = cols
+        if len(s):
+            src = np.concatenate([s, o]).astype(np.int32)
+            dst = np.concatenate([o, s]).astype(np.int32)
+            rel = np.concatenate([r, r - R if inv else r + R]).astype(np.int32)
         else:
             src = np.zeros(0, np.int32)
             dst = np.zeros(0, np.int32)
@@ -165,7 +262,7 @@ class HistoryStore:
             src, dst, rel = src[keep], dst[keep], rel[keep]
 
         e = len(src)
-        pad = _round_up(max(e, 1), edge_bucket)
+        pad = edge_pad if edge_pad is not None else _round_up(max(e, 1), edge_bucket)
         in_deg = np.bincount(dst, minlength=E).astype(np.float32)
 
         def p(a):

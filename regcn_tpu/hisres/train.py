@@ -43,6 +43,27 @@ class HisResTrainState:
     step: jax.Array
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class HisResStore:
+    """Per-target hisres step inputs for a whole split, device-resident.
+
+    Everything here depends only on the dataset (query triples, the
+    query-conditioned history graphs from the sparse tail history, and
+    the windowed relation vocabularies), so it is precomputed once and
+    the epoch/eval run as single fused scans instead of one dispatch per
+    snapshot (the reference queries its sparse matrices per step,
+    ref:hisres_main.py:317-353)."""
+
+    raw: jax.Array  # [S, B, 3]
+    inv: jax.Array  # [S, B, 3]
+    mask: jax.Array  # [S, B]
+    hg_raw: object  # Snapshot with stacked [S, ...] fields
+    hg_inv: object
+    vocab_rows: jax.Array  # [S, V] int32; row == 2B means dropped
+    vocab_rels: jax.Array  # [S, V] int32
+
+
 def union_snapshots(input_list: List[np.ndarray]) -> List[np.ndarray]:
     """2-snapshot union stream (ref main :307-313); single-snapshot
     windows reuse the snapshot itself (ref :308-309)."""
@@ -85,6 +106,10 @@ class HisResTrainer:
 
         self.opt = make_optimizer(tc)
         self._history_cache: Dict = {}
+        self._g_store = None
+        self._gg_store = None
+        self._his_store = None
+        self._eval_cache: Dict = {}
         self._build_steps()
 
     def _build_steps(self):
@@ -146,6 +171,158 @@ class HisResTrainer:
 
         self.rank_step = jax.jit(rank_step)
 
+        # fused whole-epoch / whole-split scans; window targets i >= hlen
+        # run fused, the short-history prefix (i < hlen) per-step
+        from regcn_tpu.train.epoch import window_snapshot
+
+        hlen = tc.train_history_len
+
+        def _step_inputs(g_store, gg_store, his: HisResStore, i):
+            history = window_snapshot(g_store, i, hlen)
+            if hlen > 1:
+                history_gg = window_snapshot(gg_store, i - hlen, hlen - 1)
+            else:
+                history_gg = history  # len-1 window: gg stream == g stream
+            raw, inv, mask = his.raw[i], his.inv[i], his.mask[i]
+            hg_r = jax.tree.map(lambda a: a[i], his.hg_raw)
+            hg_i = jax.tree.map(lambda a: a[i], his.hg_inv)
+            B2 = 2 * raw.shape[0]
+            vocab = jnp.zeros((B2, 2 * self.num_rels), jnp.float32)
+            vocab = vocab.at[his.vocab_rows[i], his.vocab_rels[i]].set(1.0, mode="drop")
+            return history, history_gg, raw, inv, mask, hg_r, hg_i, vocab
+
+        def epoch_fn(state, g_store, gg_store, his: HisResStore, order):
+            def body(st, i):
+                return train_step(st, *_step_inputs(g_store, gg_store, his, i))
+
+            return jax.lax.scan(body, state, order)
+
+        self.epoch_fn = jax.jit(epoch_fn, donate_argnums=(0,))
+
+        ehlen = tc.test_history_len
+
+        def eval_fn(state, g_store, gg_store, his: HisResStore,
+                    ent_rows, ent_cols, rel_rows, rel_cols):
+            def body(_, inputs):
+                t, er, ec, rr, rc = inputs
+                history = window_snapshot(g_store, t, ehlen)
+                if ehlen > 1:
+                    history_gg = window_snapshot(gg_store, t, ehlen - 1)
+                else:
+                    history_gg = history
+                raw, inv, mask = his.raw[t], his.inv[t], his.mask[t]
+                hg_r = jax.tree.map(lambda a: a[t], his.hg_raw)
+                hg_i = jax.tree.map(lambda a: a[t], his.hg_inv)
+                B2 = 2 * raw.shape[0]
+                vocab = jnp.zeros((B2, 2 * self.num_rels), jnp.float32)
+                vocab = vocab.at[his.vocab_rows[t], his.vocab_rels[t]].set(
+                    1.0, mode="drop")
+                s_ent, s_rel = predict_step(state, history, history_gg, raw,
+                                            inv, mask, hg_r, hg_i, vocab)
+                allq = jnp.concatenate([raw, inv])
+                return 0, (
+                    metrics.device_ranks(s_ent, allq[:, 2]),
+                    metrics.device_filtered_ranks(s_ent, allq[:, 2], er, ec),
+                    metrics.device_ranks(s_rel, allq[:, 1]),
+                    metrics.device_filtered_ranks(s_rel, allq[:, 1], rr, rc),
+                )
+
+            ts = jnp.arange(ent_rows.shape[0], dtype=jnp.int32)
+            _, ranks = jax.lax.scan(
+                body, 0, (ts, ent_rows, ent_cols, rel_rows, rel_cols))
+            return ranks
+
+        self.eval_fn = jax.jit(eval_fn)
+
+    # ------------------------------------------------------- fused stores
+    def _build_his_store(self, snap_list, times) -> HisResStore:
+        """Stack per-target step inputs [S, ...] with uniform padding."""
+        from regcn_tpu.data.snapshots import Snapshot, _round_up
+
+        tc = self.tc
+        S = len(snap_list)
+        B = _round_up(max(max(len(s) for s in snap_list), 1), tc.triple_bucket)
+        raws = np.zeros((S, B, 3), np.int32)
+        invs = np.zeros((S, B, 3), np.int32)
+        masks = np.zeros((S, B), np.float32)
+        graphs_raw, graphs_inv = [], []
+        vrows, vrels = [], []
+        # common his-graph edge pad: size pass first
+        max_e = 1
+        pairs_cache = []
+        for t, snap in enumerate(snap_list):
+            arr = np.asarray(snap)[:, :3].astype(np.int32)
+            rows, _ = self.history_store._tail_pairs(arr, times[t])
+            e = 2 * len(rows)
+            if self.his_max_edges is not None:
+                e = min(e, self.his_max_edges)
+            max_e = max(max_e, e)
+        edge_pad = _round_up(max_e, self.his_edge_bucket)
+        for t, snap in enumerate(snap_list):
+            arr = np.asarray(snap)[:, :3].astype(np.int32)
+            b = len(arr)
+            raws[t, :b] = arr
+            masks[t, :b] = 1.0
+            # identical layout to _batch (padded inv rows keep rel=R; they
+            # are masked everywhere they are consumed)
+            inv = raws[t][:, [2, 1, 0]].copy()
+            inv[:, 1] += self.num_rels
+            invs[t] = inv
+            graphs_raw.append(self.history_store.his_graph(
+                raws[t], masks[t], times[t], inv=False,
+                edge_pad=edge_pad, max_edges=self.his_max_edges))
+            graphs_inv.append(self.history_store.his_graph(
+                invs[t], masks[t], times[t], inv=True,
+                edge_pad=edge_pad, max_edges=self.his_max_edges))
+            allq = np.concatenate([raws[t], invs[t]])
+            allm = np.concatenate([masks[t], masks[t]])
+            r, c = self.history_store.rel_pairs(allq, times[t])
+            keep = allm[r] > 0
+            vrows.append(r[keep].astype(np.int32))
+            vrels.append(c[keep].astype(np.int32))
+        V = _round_up(max(max(len(r) for r in vrows), 1), 512)
+        vocab_rows = np.full((S, V), 2 * B, np.int32)  # out-of-range => drop
+        vocab_rels = np.zeros((S, V), np.int32)
+        for t, (r, c) in enumerate(zip(vrows, vrels)):
+            vocab_rows[t, : len(r)] = r
+            vocab_rels[t, : len(c)] = c
+
+        def stack(graphs):
+            fields = {
+                k: jnp.asarray(np.stack([getattr(g, k) for g in graphs]))
+                for k in ("src", "dst", "rel", "edge_mask", "in_deg_norm",
+                          "has_in_edge", "rc_rel", "rc_ent", "rc_mask")
+            }
+            return Snapshot(**fields, num_edges=edge_pad, num_triples=B)
+
+        return HisResStore(
+            raw=jnp.asarray(raws), inv=jnp.asarray(invs), mask=jnp.asarray(masks),
+            hg_raw=stack(graphs_raw), hg_inv=stack(graphs_inv),
+            vocab_rows=jnp.asarray(vocab_rows), vocab_rels=jnp.asarray(vocab_rels),
+        )
+
+    def _build_train_stores(self):
+        from regcn_tpu.train.epoch import build_snapshot_store
+
+        tc = self.tc
+        hlen = tc.train_history_len
+        self._g_store = build_snapshot_store(
+            self.train_list, self.num_nodes, self.num_rels,
+            edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
+            triple_bucket=tc.triple_bucket, pad_front=hlen,
+        )
+        if hlen > 1:
+            gg_full = union_snapshots(self.train_list)
+            self._gg_store = build_snapshot_store(
+                gg_full, self.num_nodes, self.num_rels,
+                edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
+                triple_bucket=tc.triple_bucket, pad_front=0,
+            )
+        else:
+            self._gg_store = self._g_store
+        self._his_store = self._build_his_store(
+            self.train_list, times=list(range(len(self.train_list))))
+
     def init_state(self, rng: jax.Array) -> HisResTrainState:
         params, model_state = hmodel.init_params(rng, self.cfg)
         return HisResTrainState(
@@ -191,14 +368,17 @@ class HisResTrainer:
                 hg_raw, hg_inv, jnp.asarray(rel_vocab))
 
     # ----------------------------------------------------------------- train
-    def run_epoch(self, state, epoch: int):
+    def run_epoch(self, state, epoch: int, fused: bool = True):
         tc = self.tc
+        hlen = tc.train_history_len
         idx = list(range(1, len(self.train_list)))
         random.Random(tc.seed + epoch).shuffle(idx)
         sums = {"entity": 0.0, "relation": 0.0, "static": 0.0}
         n = 0
-        for i in idx:
-            lo = max(0, i - tc.train_history_len)
+        prefix = [i for i in idx if i < hlen] if fused else idx
+        full = [i for i in idx if i >= hlen] if fused else []
+        for i in prefix:
+            lo = max(0, i - hlen)
             window = self.train_list[lo:i]
             history = self._history(window, key=(lo, i))
             history_gg = self._history(union_snapshots(window), key=(lo, i, "gg"))
@@ -208,11 +388,104 @@ class HisResTrainer:
             for k in sums:
                 sums[k] += float(losses[k])
             n += 1
+        if full:
+            if self._his_store is None:
+                self._build_train_stores()
+            state, loss_stack = self.epoch_fn(
+                state, self._g_store, self._gg_store, self._his_store,
+                jnp.asarray(np.asarray(full, np.int32)))
+            loss_host = jax.device_get(loss_stack)
+            for k in sums:
+                sums[k] += float(np.sum(loss_host[k]))
+            n += len(full)
         return state, {k: v / max(n, 1) for k, v in sums.items()}
 
     # ------------------------------------------------------------------ eval
+    def evaluate_fused(self, state, history_list, eval_list, ent_filters=None,
+                       rel_filters=None, time_offset: int = 0, cache_key=None):
+        """Whole-split rolling evaluation as ONE device call."""
+        from regcn_tpu.data.snapshots import _round_up
+        from regcn_tpu.train.epoch import build_eval_store, build_snapshot_store
+
+        tc = self.tc
+        hlen = tc.test_history_len
+        if cache_key is not None and cache_key in self._eval_cache:
+            (g_store, gg_store, his, er, ec, rr, rc, allm) = self._eval_cache[cache_key]
+        else:
+            g_store = build_eval_store(
+                history_list, eval_list, self.num_nodes, self.num_rels, hlen,
+                edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
+                triple_bucket=tc.triple_bucket,
+            )
+            if hlen > 1:
+                tail = list(history_list[-hlen:])
+                empty = np.zeros((0, 3), np.int64)
+                seq = [empty] * (hlen - len(tail)) + tail + list(eval_list)
+                gg_seq = [
+                    np.unique(np.concatenate([seq[j], seq[j + 1]]), axis=0)
+                    for j in range(len(seq) - 1)
+                ]
+                gg_store = build_snapshot_store(
+                    gg_seq, self.num_nodes, self.num_rels,
+                    edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
+                    triple_bucket=tc.triple_bucket, pad_front=0,
+                )
+            else:
+                gg_store = g_store
+            his = self._build_his_store(
+                list(eval_list),
+                times=[time_offset + t for t in range(len(eval_list))])
+            # filter COOs over the stacked [2B] query layout, padded [T, F]
+            B = his.raw.shape[1]
+            ers, ecs, rrs, rcs, allms = [], [], [], [], []
+            raws = np.asarray(his.raw)
+            invs = np.asarray(his.inv)
+            masks = np.asarray(his.mask)
+            for t in range(len(eval_list)):
+                allq = np.concatenate([raws[t], invs[t]])
+                allms.append(np.concatenate([masks[t], masks[t]]) > 0)
+                r1, c1 = metrics.filter_coo_padded(
+                    ent_filters[t] if ent_filters else None,
+                    allq[:, [0, 1]], allq[:, 2])
+                r2, c2 = metrics.filter_coo_padded(
+                    rel_filters[t] if rel_filters else None,
+                    allq[:, [0, 2]], allq[:, 1])
+                ers.append(r1); ecs.append(c1); rrs.append(r2); rcs.append(c2)
+            F1 = max(len(r) for r in ers)
+            F2 = max(len(r) for r in rrs)
+
+            def pad2(rows_list, cols_list, F):
+                T = len(rows_list)
+                rows = np.full((T, F), 2 * B, np.int64)
+                cols = np.zeros((T, F), np.int64)
+                for t, (r, c) in enumerate(zip(rows_list, cols_list)):
+                    rows[t, : len(r)] = r
+                    cols[t, : len(c)] = c
+                return jnp.asarray(rows), jnp.asarray(cols)
+
+            er, ec = pad2(ers, ecs, F1)
+            rr, rc = pad2(rrs, rcs, F2)
+            allm = np.stack(allms)
+            if cache_key is not None:
+                self._eval_cache[cache_key] = (g_store, gg_store, his, er, ec,
+                                               rr, rc, allm)
+        ranks = jax.device_get(
+            self.eval_fn(state, g_store, gg_store, his, er, ec, rr, rc))
+        out = {}
+        for key, arr in zip(("ent_raw", "ent_filter", "rel_raw", "rel_filter"),
+                            ranks):
+            out[key] = metrics.stat_ranks(
+                [arr[t][allm[t]] for t in range(arr.shape[0])])
+        return out
+
     def evaluate(self, state, history_list, eval_list, ent_filters=None,
-                 rel_filters=None, time_offset: int = 0):
+                 rel_filters=None, time_offset: int = 0, fused: bool = True,
+                 cache_key=None):
+        if fused:
+            return self.evaluate_fused(state, history_list, eval_list,
+                                       ent_filters, rel_filters,
+                                       time_offset=time_offset,
+                                       cache_key=cache_key)
         tc = self.tc
         window = list(history_list[-tc.test_history_len:])
         ranks = {"ent_raw": [], "ent_filter": [], "rel_raw": [], "rel_filter": []}
@@ -250,7 +523,8 @@ class HisResTrainer:
             t0 = time.time()
             state, losses = self.run_epoch(state, epoch)
             stats = self.evaluate(state, self.train_list, self.valid_list,
-                                  ent_f, rel_f, time_offset=len(self.train_list))
+                                  ent_f, rel_f, time_offset=len(self.train_list),
+                                  cache_key="valid")
             mrr = stats["ent_raw"].mrr
             log.info("epoch %03d | e/r/s %.4f/%.4f/%.4f | MRR %.4f | %.1fs",
                      epoch, losses["entity"], losses["relation"], losses["static"],
@@ -270,4 +544,5 @@ class HisResTrainer:
             state, self.train_list + self.valid_list, self.test_list,
             ent_f, rel_f,
             time_offset=len(self.train_list) + len(self.valid_list),
+            cache_key="test",
         )

@@ -87,3 +87,56 @@ def test_hisres_trainer_end_to_end(tiny_data):
                              time_offset=len(trainer.train_list))
     assert 0 < stats["ent_raw"].mrr <= 1
     assert 0 < stats["rel_raw"].mrr <= 1
+
+
+def test_hisres_fused_matches_per_step(tiny_data):
+    """The fused whole-epoch/whole-split scans (HisResStore) must
+    reproduce the per-step path: same losses, params, and eval ranks."""
+    from regcn_tpu.data.answers import build_answer_filters_by_time
+
+    cfg = HisResConfig(num_ents=tiny_data.num_nodes, num_rels=tiny_data.num_rels,
+                       h_dim=16, n_layers=2, dropout=0.0, input_dropout=0.0,
+                       hidden_dropout=0.0, feat_dropout=0.0, cand_dropout=0.0)
+    tc = TrainConfig(edge_bucket=32, rc_bucket=32, triple_bucket=32,
+                     train_history_len=3, test_history_len=3, n_epochs=1, lr=5e-3)
+    trainer = HisResTrainer(cfg, tc, tiny_data, his_edge_bucket=64)
+
+    # per-step: mirror run_epoch's prefix-then-fused ordering
+    import random as _random
+
+    hlen = tc.train_history_len
+    idx = list(range(1, len(trainer.train_list)))
+    _random.Random(tc.seed + 0).shuffle(idx)
+    ordered = [i for i in idx if i < hlen] + [i for i in idx if i >= hlen]
+    state_a = trainer.init_state(jax.random.PRNGKey(0))
+    losses_a = []
+    for i in ordered:
+        lo = max(0, i - hlen)
+        window = trainer.train_list[lo:i]
+        history = trainer._history(window, key=(lo, i))
+        history_gg = trainer._history(union_snapshots(window), key=(lo, i, "gg"))
+        raw, inv, mask, hg_raw, hg_inv, rel_vocab = trainer._batch(
+            trainer.train_list[i], i)
+        state_a, losses = trainer.train_step(
+            state_a, history, history_gg, raw, inv, mask, hg_raw, hg_inv,
+            rel_vocab)
+        losses_a.append(float(losses["entity"]))
+
+    state_b = trainer.init_state(jax.random.PRNGKey(0))
+    state_b, mean_losses = trainer.run_epoch(state_b, 0)
+    np.testing.assert_allclose(mean_losses["entity"], np.mean(losses_a), rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(state_b.params["dynamic_emb"]),
+        np.asarray(state_a.params["dynamic_emb"]), atol=2e-5)
+
+    # eval: fused vs per-step
+    ent_f = build_answer_filters_by_time(tiny_data.valid, trainer.num_rels, False)
+    rel_f = build_answer_filters_by_time(tiny_data.valid, trainer.num_rels, True)
+    t_off = len(trainer.train_list)
+    fused = trainer.evaluate(state_b, trainer.train_list, trainer.valid_list,
+                             ent_f, rel_f, time_offset=t_off)
+    spec = trainer.evaluate(state_b, trainer.train_list, trainer.valid_list,
+                            ent_f, rel_f, time_offset=t_off, fused=False)
+    for key in fused:
+        assert fused[key].count == spec[key].count
+        np.testing.assert_allclose(fused[key].mrr, spec[key].mrr, rtol=1e-5)
