@@ -135,3 +135,75 @@ def make_sharded_train_step(
 def state_sharding_rules(state: TrainState, mesh: Mesh):
     """Sharding for the full TrainState (params + optimizer moments)."""
     return param_sharding_rules(state, mesh)
+
+
+def shard_snapshot_store(store, mesh: Mesh):
+    """Place a SnapshotStore on the mesh: per-snapshot [S, N] degree-norm
+    tables are sharded over the entity axis (they are the only O(S*N)
+    arrays); edge/triple arrays are small and replicated."""
+    repl = NamedSharding(mesh, P())
+    ent_cols = NamedSharding(mesh, P(None, GRAPH_AXIS))
+
+    def place(path, leaf):
+        if leaf is None or not hasattr(leaf, "ndim"):
+            return leaf
+        names = _path_names(path)
+        sh = ent_cols if any(n in ("in_deg_norm", "has_in_edge") for n in names) else repl
+        return jax.device_put(leaf, sh)
+
+    return jax.tree_util.tree_map_with_path(place, store)
+
+
+def make_sharded_epoch_fn(
+    cfg: ModelConfig,
+    tc: TrainConfig,
+    mesh: Mesh,
+    static_snap=None,
+    impl: str = "xla",
+    pad_front: int = 0,
+):
+    """Fused whole-epoch scan (train/epoch.py execution model) jitted
+    over the mesh: entity tables/moments stay row-sharded across the
+    scan, XLA inserts the src-gather all-gather per RGCN layer and a
+    psum for the sharded CE logsumexp. ``order`` semantics match
+    :func:`regcn_tpu.train.epoch.make_epoch_fn`."""
+    from regcn_tpu.train.epoch import window_snapshot
+
+    opt = make_optimizer(tc)
+    hlen = tc.train_history_len
+    ent_rows = NamedSharding(mesh, P(GRAPH_AXIS, None))
+
+    def loss_fn(params, model_state, history, triples, mask, rng):
+        _, losses, new_state = recurrent.get_loss(
+            params, model_state, cfg, history, triples, mask,
+            static_snap=static_snap, rng=rng, train=True, impl=impl,
+        )
+        total = (
+            tc.task_weight * losses["entity"]
+            + (1.0 - tc.task_weight) * losses["relation"]
+            + losses["static"]
+        )
+        return total, (losses, new_state)
+
+    def epoch_fn(state: TrainState, store, order):
+        def body(st: TrainState, i):
+            history = window_snapshot(store, i - hlen + pad_front, hlen)
+            triples = store.triples[i + pad_front]
+            mask = store.triple_mask[i + pad_front]
+            rng, step_rng = jax.random.split(st.rng)
+            grads, (losses, new_model_state) = jax.grad(loss_fn, has_aux=True)(
+                st.params, st.model_state, history, triples, mask, step_rng
+            )
+            updates, new_opt_state = opt.update(grads, st.opt_state, st.params)
+            new_params = jax.tree.map(lambda p, u: p + u, st.params, updates)
+            new_params["dynamic_emb"] = jax.lax.with_sharding_constraint(
+                new_params["dynamic_emb"], ent_rows)
+            return TrainState(
+                params=new_params, opt_state=new_opt_state,
+                model_state=new_model_state, rng=rng, step=st.step + 1,
+            ), losses
+
+        return jax.lax.scan(body, state, order)
+
+    with mesh:
+        return jax.jit(epoch_fn, donate_argnums=(0,))

@@ -62,3 +62,44 @@ def test_sharded_matches_single_device():
         )
     np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5)
     np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_fused_epoch_matches_unsharded(mesh):
+    """The fused whole-epoch scan under GSPMD entity sharding must match
+    the single-device fused epoch (same losses and final params)."""
+    from regcn_tpu.data.snapshots import split_by_time
+    from regcn_tpu.parallel.sharding import (
+        make_sharded_epoch_fn, shard_snapshot_store, state_sharding_rules)
+    from regcn_tpu.train.epoch import build_snapshot_store, make_epoch_fn
+    from regcn_tpu.train.state import create_train_state
+
+    data = generate("synthetic-small", seed=11, num_ents=64, num_rels=6,
+                    num_snaps=12, triples_per_snap=40, split=(8, 2, 2))
+    cfg = ModelConfig(num_ents=data.num_nodes, num_rels=data.num_rels,
+                      h_dim=16, n_layers=2, dropout=0.0)
+    tc = TrainConfig(edge_bucket=32, rc_bucket=32, triple_bucket=32,
+                     train_history_len=3)
+    train_list = split_by_time(data.train)
+    hlen = tc.train_history_len
+    store = build_snapshot_store(train_list, data.num_nodes, data.num_rels,
+                                 edge_bucket=32, rc_bucket=32,
+                                 triple_bucket=32, pad_front=hlen)
+    order = jnp.asarray(np.arange(1, len(train_list), dtype=np.int32))
+
+    ref_epoch = make_epoch_fn(cfg, tc, pad_front=hlen)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, tc)
+    state_ref, losses_ref = ref_epoch(state, store, order)
+
+    sharded_epoch = make_sharded_epoch_fn(cfg, tc, mesh, pad_front=hlen)
+    state2 = create_train_state(jax.random.PRNGKey(0), cfg, tc)
+    state2 = jax.device_put(state2, state_sharding_rules(state2, mesh))
+    store_sh = shard_snapshot_store(store, mesh)
+    state_sh, losses_sh = sharded_epoch(state2, store_sh, order)
+
+    assert state_sh.params["dynamic_emb"].sharding.spec[0] == "graph"
+    np.testing.assert_allclose(
+        np.asarray(losses_sh["entity"]), np.asarray(losses_ref["entity"]),
+        rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(state_sh.params["dynamic_emb"]),
+        np.asarray(state_ref.params["dynamic_emb"]), atol=2e-5)
