@@ -39,6 +39,11 @@ def _scatter_kernel(dst_ref, msg_ref, out_ref, *, n_rows, chunk, te):
     last = jnp.max(jnp.where(dstv >= n_rows, -1, dstv))
 
     msg = msg_ref[:]  # [TE, d]
+    # the MXU truncates fp32 dot inputs to bf16; the one-hot factor is
+    # exact in bf16, so splitting msg into bf16 hi/lo halves keeps the
+    # scatter fp32-exact (two matmuls instead of a 6-pass HIGHEST dot)
+    msg_hi = msg.astype(jnp.bfloat16).astype(jnp.float32)
+    msg_lo = msg - msg_hi
     for k in range(n_rows // chunk):
         row0 = k * chunk
 
@@ -46,8 +51,9 @@ def _scatter_kernel(dst_ref, msg_ref, out_ref, *, n_rows, chunk, te):
         def _(k=k, row0=row0):
             row_ids = jax.lax.broadcasted_iota(jnp.int32, (chunk, te), 0) + row0
             onehot = (row_ids == dstv[None, :]).astype(jnp.float32)
-            out_ref[row0:row0 + chunk, :] += jnp.dot(
-                onehot, msg, preferred_element_type=jnp.float32
+            out_ref[row0:row0 + chunk, :] += (
+                jnp.dot(onehot, msg_hi, preferred_element_type=jnp.float32)
+                + jnp.dot(onehot, msg_lo, preferred_element_type=jnp.float32)
             )
 
 
