@@ -107,6 +107,9 @@ def build_parser() -> argparse.ArgumentParser:
     hp.add_argument("--num-heads", type=int, default=4, help="HGAT heads")
     hp.add_argument("--hyp-init-scale", type=float, default=1e-3)
     hp.add_argument("--hyp-score-scale-init", type=float, default=1.0)
+    hp.add_argument("--compute-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="bf16 activations with fp32 params/islands (hyperbolic)")
     hp.add_argument("--hyp-score-margin-init", type=float, default=1.0)
     hp.add_argument("--use-entity-euclidean-bias", action="store_true", default=False)
     hp.add_argument("--use-relation-specific-curvature", action="store_true", default=False)
@@ -144,6 +147,7 @@ def run_hyperbolic(args) -> dict:
         num_static_rels=data.num_static_rels, num_words=data.num_words,
         n_bases=args.n_bases, static_weight=args.weight,
         discount=args.discount, angle=args.angle,
+        compute_dtype=args.compute_dtype,
         c=args.curvature, learn_curvature=args.learn_curvature,
         curvature_min=args.curvature_min, curvature_max=args.curvature_max,
         manifold_entities=args.manifold_entities,

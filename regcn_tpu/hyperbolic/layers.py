@@ -84,7 +84,9 @@ def hyperbolic_union_layer(
     msg = (h_tan[snap.src] + rel_emb[snap.rel]) @ params["w_neighbor"]
     rw = jnp.exp(-radius_gamma * jnp.abs(radius[snap.src] - radius[snap.dst]))
     msg = msg * (rw * snap.edge_mask)[:, None]
-    agg = jax.ops.segment_sum(msg, snap.dst, num_segments=n)
+    agg = jax.ops.segment_sum(
+        msg.astype(jnp.float32), snap.dst, num_segments=n
+    ).astype(msg.dtype)
     h_new = agg * snap.in_deg_norm[:, None]
     h_new = jnp.clip(h_new, -CLAMP, CLAMP)
 
@@ -132,7 +134,9 @@ def union_layer_tangent(
     msg = (v[snap.src] + rel_emb[snap.rel]) @ params["w_neighbor"]
     rw = jnp.exp(-radius_gamma * jnp.abs(radius[snap.src] - radius[snap.dst]))
     msg = msg * (rw * snap.edge_mask)[:, None]
-    agg = jax.ops.segment_sum(msg, snap.dst, num_segments=n)
+    agg = jax.ops.segment_sum(
+        msg.astype(jnp.float32), snap.dst, num_segments=n
+    ).astype(msg.dtype)
     h_new = agg * snap.in_deg_norm[:, None]
     h_new = jnp.clip(h_new, -CLAMP, CLAMP)
 

@@ -89,6 +89,11 @@ class HyperbolicConfig:
     radius_epsilon: float = 0.1
     radius_anchor_beta: float = 1.0
     radius_msg_gamma: float = 1.0
+    # bfloat16 activations/weights on the compute path; parameters,
+    # optimizer state, norm/transcendental islands, BN statistics and CE
+    # reductions stay fp32 (new TPU capability — the reference is
+    # fp32-only). Validated for the flagship uvrgcn+convtranse path.
+    compute_dtype: str = "float32"
     # encoder/decoder extras
     num_heads: int = 4
     hyp_init_scale: float = 1e-3
@@ -427,6 +432,7 @@ def _decoder_dropouts(cfg):
 
 
 def _masked_ce(scores, labels, mask):
+    scores = scores.astype(jnp.float32)  # CE always reduces in fp32
     logz = jax.nn.logsumexp(scores, axis=1)
     ll = jnp.take_along_axis(scores, labels[:, None], axis=1)[:, 0]
     nll = (logz - ll) * mask

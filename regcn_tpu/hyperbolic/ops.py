@@ -31,10 +31,16 @@ def _norm(x, keepdims=True, eps=EPS):
 
 
 def clamp_norm(x: jax.Array, max_norm, eps: float = EPS) -> jax.Array:
-    """Rescale rows whose norm exceeds max_norm (ref :38-53)."""
-    norm = _norm(x, eps=eps)
+    """Rescale rows whose norm exceeds max_norm (ref :38-53).
+
+    Like every norm/transcendental helper here, computes in an fp32
+    island and casts back: under ``compute_dtype=bfloat16`` the eps/clamp
+    discipline must not run at 8-bit mantissa (XLA fuses the casts, so
+    HBM traffic stays bf16)."""
+    x32 = x.astype(jnp.float32)
+    norm = _norm(x32, eps=eps)
     clamped = jnp.minimum(norm, max_norm - eps)
-    return x * (clamped / norm)
+    return (x32 * (clamped / norm)).astype(x.dtype)
 
 
 def project_to_ball(x: jax.Array, c, eps: float = EPS) -> jax.Array:
@@ -46,17 +52,19 @@ def project_to_ball(x: jax.Array, c, eps: float = EPS) -> jax.Array:
 def exp_map_zero(v: jax.Array, c, eps: float = EPS) -> jax.Array:
     """exp_0(v) = tanh(sqrt(c)||v||) v / (sqrt(c)||v||) (ref :77-95)."""
     sqrt_c = jnp.sqrt(c)
-    v_norm = _norm(v, eps=eps)
-    out = jnp.tanh(sqrt_c * v_norm) * (v / v_norm) / sqrt_c
-    return project_to_ball(out, c, eps)
+    v32 = v.astype(jnp.float32)
+    v_norm = _norm(v32, eps=eps)
+    out = jnp.tanh(sqrt_c * v_norm) * (v32 / v_norm) / sqrt_c
+    return project_to_ball(out, c, eps).astype(v.dtype)
 
 
 def log_map_zero(x: jax.Array, c, eps: float = EPS) -> jax.Array:
     """log_0(x) = atanh(sqrt(c)||x||) x / (sqrt(c)||x||) (ref :98-116)."""
     sqrt_c = jnp.sqrt(c)
-    x_norm = _norm(x, eps=eps)
+    x32 = x.astype(jnp.float32)
+    x_norm = _norm(x32, eps=eps)
     scaled = jnp.minimum(sqrt_c * x_norm, 1.0 - eps)
-    return jnp.arctanh(scaled) * x / (sqrt_c * x_norm)
+    return (jnp.arctanh(scaled) * x32 / (sqrt_c * x_norm)).astype(x.dtype)
 
 
 def conformal_factor(x: jax.Array, c, keepdims: bool = True) -> jax.Array:
@@ -150,16 +158,18 @@ def tangent_norm_bound(c, eps: float = EPS):
 def clamp_tangent_norm(v: jax.Array, c, eps: float = EPS) -> jax.Array:
     """Tangent-space equivalent of log_0(project_to_ball(exp_0(v)))."""
     bound = tangent_norm_bound(c, eps)
-    vn = _norm(v, eps=eps)
-    return v * (jnp.minimum(vn, bound) / vn)
+    v32 = v.astype(jnp.float32)
+    vn = _norm(v32, eps=eps)
+    return (v32 * (jnp.minimum(vn, bound) / vn)).astype(v.dtype)
 
 
 def radius_from_tangent(v: jax.Array, c, eps: float = EPS) -> jax.Array:
     """get_radius(exp_0(v)) without materialising the ball point: [..., ]."""
     sqrt_c = jnp.sqrt(c)
-    vn = _norm(v, keepdims=False, eps=eps)
+    vn = _norm(v.astype(jnp.float32), keepdims=False, eps=eps)
     r = jnp.tanh(sqrt_c * vn) / sqrt_c
-    return jnp.maximum(jnp.minimum(r, 1.0 / sqrt_c - 2.0 * eps), eps)
+    r = jnp.maximum(jnp.minimum(r, 1.0 / sqrt_c - 2.0 * eps), eps)
+    return r.astype(v.dtype)
 
 
 def apply_radius_tangent(v: jax.Array, radius, c, eps: float = EPS) -> jax.Array:
@@ -170,9 +180,10 @@ def apply_radius_tangent(v: jax.Array, radius, c, eps: float = EPS) -> jax.Array
         radius = radius[..., None]
     sqrt_c = jnp.sqrt(c)
     max_radius = 1.0 / sqrt_c - eps
-    radius = jnp.clip(radius, eps, max_radius)
+    radius = jnp.clip(radius.astype(jnp.float32), eps, max_radius)
     target_vn = jnp.arctanh(jnp.minimum(sqrt_c * radius, 1.0 - eps)) / sqrt_c
-    return (v / _norm(v, eps=eps)) * target_vn
+    v32 = v.astype(jnp.float32)
+    return ((v32 / _norm(v32, eps=eps)) * target_vn).astype(v.dtype)
 
 
 def embedding_stats(x: jax.Array, c) -> dict:

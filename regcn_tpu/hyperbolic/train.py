@@ -152,9 +152,25 @@ class HyperbolicTrainer:
     # --------------------------------------------------------------- jitted
     def _build_steps(self):
         cfg, tc, opt = self.cfg, self.tc, self.opt
+        cdt = jnp.dtype(cfg.compute_dtype)
+
+        def to_compute(tree):
+            """Cast fp32 array leaves (ndim >= 1) to the compute dtype;
+            scalars (learnable curvature, score margins, gate thresholds)
+            stay fp32."""
+            if cdt == jnp.float32:
+                return tree
+            return jax.tree.map(
+                lambda x: x.astype(cdt)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 and x.ndim >= 1
+                else x,
+                tree,
+            )
 
         def loss_fn(params, model_state, history, triples, mask, rng,
                     cmax, est_inputs, tans):
+            params = to_compute(params)
+            history = to_compute(history)
             loss_ent, losses, new_state, aux = hmodel.get_loss(
                 params, model_state, cfg, history, triples, mask,
                 static_snap=self.static_snap, est_inputs=est_inputs,
@@ -175,6 +191,10 @@ class HyperbolicTrainer:
                 state.params, state.model_state, history, triples, mask,
                 step_rng, cmax, est_inputs, tans,
             )
+            if cdt != jnp.float32:
+                # grads come out in compute dtype; the optimizer is fp32
+                grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+                losses = jax.tree.map(lambda l: l.astype(jnp.float32), losses)
             updates, new_opt = opt.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             new_est = state.est_state
@@ -198,10 +218,12 @@ class HyperbolicTrainer:
 
         def predict_step(state: HypTrainState, history, triples, mask, rb=None):
             est_inputs = (state.est_state, rb) if (cfg.use_est and rb is not None) else None
-            return hmodel.predict(
-                state.params, state.model_state, cfg, history, triples, mask,
+            s_ob, s_rel = hmodel.predict(
+                to_compute(state.params), state.model_state, cfg,
+                to_compute(history), triples, mask,
                 static_snap=self.static_snap, est_inputs=est_inputs,
             )
+            return s_ob.astype(jnp.float32), s_rel.astype(jnp.float32)
 
         self.predict_step = jax.jit(predict_step)
 

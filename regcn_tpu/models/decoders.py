@@ -54,17 +54,18 @@ def _batch_norm(
     shape = [1] * x.ndim
     shape[axis] = c
 
+    x32 = x.astype(jnp.float32)  # stats always accumulate in fp32
     if train:
         if mask is not None:
             mshape = [1] * x.ndim
             mshape[0] = x.shape[0]
-            m = mask.reshape(mshape)
+            m = mask.astype(jnp.float32).reshape(mshape)
             denom = jnp.maximum(jnp.sum(m) * (x.size / (x.shape[0] * c)), 1.0)
-            mean = jnp.sum(x * m, axis=reduce_axes) / denom
-            var = jnp.sum(m * (x - mean.reshape(shape)) ** 2, axis=reduce_axes) / denom
+            mean = jnp.sum(x32 * m, axis=reduce_axes) / denom
+            var = jnp.sum(m * (x32 - mean.reshape(shape)) ** 2, axis=reduce_axes) / denom
         else:
-            mean = jnp.mean(x, axis=reduce_axes)
-            var = jnp.var(x, axis=reduce_axes)
+            mean = jnp.mean(x32, axis=reduce_axes)
+            var = jnp.var(x32, axis=reduce_axes)
         new_state = {
             "mean": (1 - _BN_MOMENTUM) * state["mean"] + _BN_MOMENTUM * mean,
             "var": (1 - _BN_MOMENTUM) * state["var"] + _BN_MOMENTUM * var,
@@ -74,10 +75,10 @@ def _batch_norm(
         new_state = state
 
     inv = jax.lax.rsqrt(var.reshape(shape) + _BN_EPS)
-    out = (x - mean.reshape(shape)) * inv * params["scale"].reshape(shape) + params[
-        "bias"
-    ].reshape(shape)
-    return out, new_state
+    out = (x32 - mean.reshape(shape)) * inv * params["scale"].reshape(
+        shape
+    ).astype(jnp.float32) + params["bias"].reshape(shape).astype(jnp.float32)
+    return out.astype(x.dtype), new_state
 
 
 def _dropout(x, rate, rng, train):
@@ -109,15 +110,18 @@ def init_convtrans(
 
 
 def _conv1d_same(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
-    """[B, Cin, L] conv with [Cout, Cin, K] weights, same padding."""
+    """[B, Cin, L] conv with [Cout, Cin, K] weights, same padding.
+
+    Runs in the input dtype (the TPU convolution accumulates fp32
+    internally regardless); forcing an fp32 output dtype breaks the
+    transpose rule under bf16 compute (mixed-dtype conv arguments)."""
     out = jax.lax.conv_general_dilated(
-        x, w,
+        x, w.astype(x.dtype),
         window_strides=(1,),
         padding="SAME",
         dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
     )
-    return out + b[None, :, None]
+    return out + b[None, :, None].astype(x.dtype)
 
 
 def _convtrans_features(

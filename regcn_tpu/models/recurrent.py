@@ -154,6 +154,7 @@ def evolve(
 
 def _masked_ce(scores: jax.Array, labels: jax.Array, mask: jax.Array) -> jax.Array:
     """Mean cross-entropy over valid rows (torch CrossEntropyLoss parity)."""
+    scores = scores.astype(jnp.float32)  # CE always reduces in fp32
     logz = jax.nn.logsumexp(scores, axis=1)
     ll = jnp.take_along_axis(scores, labels[:, None], axis=1)[:, 0]
     nll = (logz - ll) * mask

@@ -31,6 +31,8 @@ def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
     Note: the reference's ``--layer-norm`` flag gates F.normalize, not
     LayerNorm (ref:src/rrgcn.py:151-176).
     """
-    # clamp inside the sqrt so zero rows have finite (zero) gradients
-    sq = jnp.sum(x * x, axis=axis, keepdims=True)
-    return x / jnp.sqrt(jnp.maximum(sq, eps * eps))
+    # clamp inside the sqrt so zero rows have finite (zero) gradients;
+    # fp32 island so bf16 compute mode keeps full-precision norms
+    x32 = x.astype(jnp.float32)
+    sq = jnp.sum(x32 * x32, axis=axis, keepdims=True)
+    return (x32 / jnp.sqrt(jnp.maximum(sq, eps * eps))).astype(x.dtype)

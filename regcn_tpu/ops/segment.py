@@ -22,7 +22,10 @@ def masked_segment_sum(
 ) -> jax.Array:
     """Segment-sum where padded entries (mask==0) contribute zero."""
     m = mask.reshape(mask.shape + (1,) * (data.ndim - mask.ndim))
-    return jax.ops.segment_sum(data * m, segment_ids, num_segments=num_segments)
+    # accumulate in fp32 (bf16 segment reductions round per-element)
+    out = jax.ops.segment_sum(
+        (data * m).astype(jnp.float32), segment_ids, num_segments=num_segments)
+    return out.astype(data.dtype)
 
 
 def masked_segment_mean(
@@ -35,7 +38,9 @@ def masked_segment_mean(
     relation, zeros for relations absent from the snapshot).
     """
     s = masked_segment_sum(data, segment_ids, mask, num_segments)
-    cnt = jax.ops.segment_sum(mask, segment_ids, num_segments=num_segments)
+    cnt = jax.ops.segment_sum(
+        mask.astype(jnp.float32), segment_ids, num_segments=num_segments
+    ).astype(data.dtype)
     cnt = cnt.reshape(cnt.shape + (1,) * (s.ndim - cnt.ndim))
     return jnp.where(cnt > 0, s / jnp.maximum(cnt, 1.0), 0.0)
 

@@ -385,3 +385,22 @@ def test_est_fused_epoch_and_eval_match_per_step(tiny_data):
     for key in spec:
         assert fused[key].count == spec[key].count
         np.testing.assert_allclose(fused[key].mrr, spec[key].mrr, rtol=1e-5)
+
+
+def test_bf16_compute_mode_tracks_fp32(tiny_data):
+    """bfloat16 compute mode: loss decreases and stays within a few
+    percent of the fp32 trajectory (params/islands remain fp32)."""
+    tc = _tc()
+    last = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = _cfg(tiny_data, compute_dtype=dt)
+        trainer = HyperbolicTrainer(cfg, tc, tiny_data)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        losses = []
+        for e in range(3):
+            state, l = trainer.run_epoch(state, e)
+            losses.append(l["entity"])
+        assert losses[-1] < losses[0]
+        assert np.asarray(state.params["dynamic_emb"]).dtype == np.float32
+        last[dt] = losses[-1]
+    np.testing.assert_allclose(last["bfloat16"], last["float32"], rtol=0.05)
