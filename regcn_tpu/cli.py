@@ -216,7 +216,8 @@ def run_hisres(args) -> dict:
     ckpt = args.checkpoint or os.path.join(args.models_dir, "hisres-" + model_name(args))
     best, info = trainer.fit(checkpoint_path=ckpt)
     logging.info("best valid MRR (raw): %.4f", info["best_valid_mrr_raw"])
-    stats = trainer.test(best)
+    stats = trainer.test(best, multi_step=args.multi_step, topk=args.topk,
+                         relation_evaluation=args.relation_evaluation)
     result = {
         k: {"mrr": s.mrr, **{f"hits@{h}": v for h, v in s.hits.items()}}
         for k, s in stats.items()

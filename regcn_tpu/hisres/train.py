@@ -480,8 +480,9 @@ class HisResTrainer:
 
     def evaluate(self, state, history_list, eval_list, ent_filters=None,
                  rel_filters=None, time_offset: int = 0, fused: bool = True,
-                 cache_key=None):
-        if fused:
+                 cache_key=None, multi_step: bool = False, topk: int = 10,
+                 relation_evaluation: bool = False):
+        if fused and not multi_step:
             return self.evaluate_fused(state, history_list, eval_list,
                                        ent_filters, rel_filters,
                                        time_offset=time_offset,
@@ -492,7 +493,11 @@ class HisResTrainer:
         for t, snap in enumerate(eval_list):
             history = self._history(window)
             history_gg = self._history(union_snapshots(window))
-            raw, inv, mask, hg_raw, hg_inv, rel_vocab = self._batch(snap, time_offset + t)
+            # multi-step: no ground truth beyond the last real snapshot,
+            # so the sparse-history vocab is frozen at time_offset
+            # (ref:hisres_main.py:53-58, :81-89)
+            t_vocab = time_offset if multi_step else time_offset + t
+            raw, inv, mask, hg_raw, hg_inv, rel_vocab = self._batch(snap, t_vocab)
             mask_np = np.asarray(mask)
             allq = np.concatenate([np.asarray(raw), np.asarray(inv)])
             allm = np.concatenate([mask_np, mask_np]) > 0
@@ -500,6 +505,35 @@ class HisResTrainer:
                 ent_filters[t] if ent_filters else None, allq[:, [0, 1]], allq[:, 2])
             rr, rc = metrics.filter_coo_padded(
                 rel_filters[t] if rel_filters else None, allq[:, [0, 2]], allq[:, 1])
+            if multi_step:
+                from regcn_tpu.train.loop import construct_snap, construct_snap_r
+
+                s_ent, s_rel = self.predict_step(
+                    state, history, history_gg, raw, inv, mask, hg_raw,
+                    hg_inv, rel_vocab)
+                s_ent = np.asarray(s_ent, np.float64)
+                s_rel = np.asarray(s_rel, np.float64)
+                ranks["ent_raw"].append(
+                    metrics.ranks_from_scores(s_ent[allm], allq[allm][:, 2]))
+                ranks["ent_filter"].append(metrics.filtered_ranks(
+                    s_ent[allm], allq[allm][:, [0, 1]], allq[allm][:, 2],
+                    ent_filters[t] if ent_filters else None))
+                ranks["rel_raw"].append(
+                    metrics.ranks_from_scores(s_rel[allm], allq[allm][:, 1]))
+                ranks["rel_filter"].append(metrics.filtered_ranks(
+                    s_rel[allm], allq[allm][:, [0, 2]], allq[allm][:, 1],
+                    rel_filters[t] if rel_filters else None))
+                # feed top-k predictions back into the rolling window
+                # (ref:hisres_main.py:129-137)
+                if relation_evaluation:
+                    pred = construct_snap_r(allq[allm], self.num_rels,
+                                            s_rel[allm], topk)
+                else:
+                    pred = construct_snap(allq[allm], self.num_rels,
+                                          s_ent[allm], topk)
+                window.pop(0)
+                window.append(pred if len(pred) else snap)
+                continue
             r1, r2, r3, r4 = self.rank_step(
                 state, history, history_gg, raw, inv, mask, hg_raw, hg_inv,
                 rel_vocab, jnp.asarray(er), jnp.asarray(ec),
@@ -537,12 +571,14 @@ class HisResTrainer:
                     save_checkpoint(checkpoint_path, state, {"epoch": epoch, "mrr": mrr})
         return best_state, {"best_valid_mrr_raw": best_mrr}
 
-    def test(self, state):
+    def test(self, state, multi_step: bool = False, topk: int = 10,
+             relation_evaluation: bool = False):
         ent_f = build_answer_filters_by_time(self.data.test, self.num_rels, False)
         rel_f = build_answer_filters_by_time(self.data.test, self.num_rels, True)
         return self.evaluate(
             state, self.train_list + self.valid_list, self.test_list,
             ent_f, rel_f,
             time_offset=len(self.train_list) + len(self.valid_list),
-            cache_key="test",
+            cache_key="test", multi_step=multi_step, topk=topk,
+            relation_evaluation=relation_evaluation,
         )

@@ -140,3 +140,19 @@ def test_hisres_fused_matches_per_step(tiny_data):
     for key in fused:
         assert fused[key].count == spec[key].count
         np.testing.assert_allclose(fused[key].mrr, spec[key].mrr, rtol=1e-5)
+
+
+def test_hisres_multi_step_inference(tiny_data):
+    """Multi-step rollout: top-k predictions replace ground truth in the
+    window and the history vocab freezes at the last real time
+    (ref:hisres_main.py:53-58, :129-137)."""
+    cfg = HisResConfig(num_ents=tiny_data.num_nodes, num_rels=tiny_data.num_rels,
+                       h_dim=16, n_layers=2, dropout=0.0)
+    tc = TrainConfig(edge_bucket=32, rc_bucket=32, triple_bucket=32,
+                     train_history_len=3, test_history_len=3, n_epochs=1, lr=5e-3)
+    trainer = HisResTrainer(cfg, tc, tiny_data, his_edge_bucket=64)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state, _ = trainer.run_epoch(state, 0)
+    stats = trainer.test(state, multi_step=True, topk=5)
+    for key in ("ent_raw", "ent_filter", "rel_raw", "rel_filter"):
+        assert np.isfinite(stats[key].mrr) and 0 < stats[key].mrr <= 1
