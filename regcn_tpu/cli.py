@@ -30,7 +30,14 @@ HP_RANGE = {
     "n_bases": [50, 100],
     "lr": [1e-3, 5e-4],
     "train_history_len": [1, 3, 7, 10],
+    "task_weight": [0.5, 0.7, 1.0],
+    "seed": [2023, 2024, 2025],
 }
+
+# numeric knobs that do not change tensor shapes: with --vectorize these
+# sweep as ONE vmapped program (regcn_tpu/train/sweep.py) instead of
+# sequential retraining
+VECTORIZABLE = ("lr", "task_weight", "seed")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -80,6 +87,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--relation-evaluation", action="store_true", default=False)
     # grid search
     p.add_argument("--tune", default="n_hidden,n_layers,dropout,n_bases")
+    p.add_argument("--vectorize", action="store_true", default=False,
+                   help="grid mode: vmap lr/task_weight/seed combos into one program")
     # misc
     p.add_argument("--run-analysis", action="store_true", default=False)
     p.add_argument("--impl", default="xla", choices=["xla", "pallas"])
@@ -309,15 +318,52 @@ def run_single(args) -> dict:
 
 
 def run_grid(args):
-    """Cartesian grid search (ref:src/main.py:403-443)."""
+    """Cartesian grid search (ref:src/main.py:403-443).
+
+    With --vectorize, the lr/task_weight/seed sub-grid trains as ONE
+    vmapped program per outer (shape-changing) combination."""
     keys = [k.strip() for k in args.tune.split(",") if k.strip()]
     for k in keys:
         if k not in HP_RANGE:
             raise SystemExit(f"unknown hyperparameter {k!r}; known: {list(HP_RANGE)}")
     out_log = f"{args.dataset}.{args.encoder}-{args.decoder}.gs"
+    results = []
+
+    if args.vectorize and any(k in VECTORIZABLE for k in keys):
+        from regcn_tpu.data import load_data
+        from regcn_tpu.train.sweep import SweepRunner
+
+        vec_keys = [k for k in keys if k in VECTORIZABLE]
+        seq_keys = [k for k in keys if k not in VECTORIZABLE]
+        inner = list(itertools.product(*[HP_RANGE[k] for k in vec_keys]))
+        outer = list(itertools.product(*[HP_RANGE[k] for k in seq_keys])) or [()]
+        logging.info("vectorized grid: %d outer x %d vmapped combos",
+                     len(outer), len(inner))
+        data = load_data(args.dataset, args.data_dir,
+                         load_static=args.add_static_graph)
+        with open(out_log, "w") as f:
+            for combo in outer:
+                for k, v in zip(seq_keys, combo):
+                    setattr(args, k, v)
+                cfg = make_experiment(args, data)
+                combos = {k: [row[i] for row in inner]
+                          for i, k in enumerate(vec_keys)}
+                runner = SweepRunner(cfg.model, cfg.train, data, combos,
+                                     impl=args.impl)
+                rows, _ = runner.run()
+                for r in rows:
+                    row = {"params": {**dict(zip(seq_keys, combo)),
+                                      **{k: r[k] for k in vec_keys}},
+                           "valid_ent_mrr_raw": r["valid_ent_mrr_raw"]}
+                    results.append(row)
+                    f.write(json.dumps(row) + "\n")
+                    f.flush()
+        best = max(results, key=lambda r: r["valid_ent_mrr_raw"])
+        logging.info("best: %s", best)
+        return results
+
     combos = list(itertools.product(*[HP_RANGE[k] for k in keys]))
     logging.info("grid search over %s: %d combos -> %s", keys, len(combos), out_log)
-    results = []
     with open(out_log, "w") as f:
         for combo in combos:
             for k, v in zip(keys, combo):
