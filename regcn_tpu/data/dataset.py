@@ -84,5 +84,5 @@ def load_data(name: str, data_dir: str = "data", load_static: bool = False, **sy
     if name.startswith("synthetic"):
         from regcn_tpu.data import synthetic
 
-        return synthetic.generate(name, **syn_kwargs)
+        return synthetic.generate(name, with_static=load_static, **syn_kwargs)
     return load_from_local(data_dir, name, load_static=load_static)

@@ -31,12 +31,17 @@ _PRESETS = {
                                triples_per_snap=250, split=(304, 30, 31)),
     "synthetic-icews18": dict(num_ents=23033, num_rels=256, num_snaps=304,
                               triples_per_snap=1200, split=(240, 30, 34)),
+    "synthetic-wiki": dict(num_ents=12554, num_rels=24, num_snaps=232,
+                           triples_per_snap=1500, split=(186, 23, 23)),
+    "synthetic-yago": dict(num_ents=10623, num_rels=10, num_snaps=189,
+                           triples_per_snap=1300, split=(151, 19, 19)),
     "synthetic-gdelt": dict(num_ents=7691, num_rels=240, num_snaps=2751,
                             triples_per_snap=700, split=(2303, 288, 160)),
 }
 
 
-def generate(name: str = "synthetic-small", seed: int = 123, **overrides) -> TKGData:
+def generate(name: str = "synthetic-small", seed: int = 123,
+             with_static: bool = False, **overrides) -> TKGData:
     cfg = dict(_PRESETS.get(name, _PRESETS["synthetic-small"]))
     cfg.update({k: v for k, v in overrides.items() if v is not None})
     num_ents = cfg["num_ents"]
@@ -90,10 +95,31 @@ def generate(name: str = "synthetic-small", seed: int = 123, **overrides) -> TKG
     valid = np.concatenate(all_quads[n_train : n_train + n_valid], axis=0)
     test = np.concatenate(all_quads[n_train + n_valid :], axis=0)
 
+    static_triples = None
+    num_static_rels = 0
+    num_words = 0
+    if with_static:
+        # entity-word static graph (ref e-w-graph.txt consumed at
+        # ref:src/main.py:145-151): entities from the same popularity
+        # cluster share words, so the angular constraint carries signal
+        num_words = max(num_ents // 2, 16)
+        num_static_rels = 8
+        srng = np.random.default_rng(seed + 7)
+        links = []
+        cluster = srng.integers(0, max(num_words // 4, 1), num_ents)
+        for k in range(3):
+            w = (cluster * 4 + srng.integers(0, 4, num_ents)) % num_words
+            r = srng.integers(0, num_static_rels, num_ents)
+            links.append(np.stack([np.arange(num_ents), r, w], axis=1))
+        static_triples = np.unique(np.concatenate(links), axis=0).astype(np.int64)
+
     return TKGData(
         train=train,
         valid=valid,
         test=test,
         num_nodes=num_ents,
         num_rels=num_rels,
+        static_triples=static_triples,
+        num_static_rels=num_static_rels,
+        num_words=num_words,
     )

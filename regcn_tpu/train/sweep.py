@@ -239,3 +239,181 @@ class SweepRunner:
                 "stats": stats,
             })
         return out, states
+
+
+# ----------------------------------------------------------- hyperbolic
+
+class HyperbolicSweepRunner:
+    """Vectorized (lr, task_weight, seed) sweep for the hyperbolic model
+    (non-EST, Euclidean-optimizer configurations; manifold entities need
+    per-model Riemannian state and sweep sequentially)."""
+
+    def __init__(self, cfg, tc: TrainConfig, data, combos: Dict[str, Sequence]):
+        from regcn_tpu.data.snapshots import split_by_time
+        from regcn_tpu.hyperbolic import model as hmodel
+        from regcn_tpu.train.epoch import build_snapshot_store
+
+        if cfg.manifold_entities or cfg.use_est:
+            raise ValueError("vectorized sweep supports the Euclidean-"
+                             "optimizer, non-EST hyperbolic configurations")
+        ks = set(combos) - {"lr", "task_weight", "seed"}
+        if ks:
+            raise ValueError(f"not vectorizable (shape-changing): {sorted(ks)}")
+        self.cfg, self.tc, self.data = cfg, tc, data
+        n = max(len(v) for v in combos.values())
+        self.lrs = list(combos.get("lr", [tc.lr] * n))
+        self.tws = list(combos.get("task_weight", [tc.task_weight] * n))
+        self.seeds = list(combos.get("seed", [tc.seed] * n))
+        n = max(len(self.lrs), len(self.tws), len(self.seeds))
+        for lst in (self.lrs, self.tws, self.seeds):
+            lst.extend([lst[-1]] * (n - len(lst)))
+        self.n_models = n
+
+        self.train_list = split_by_time(data.train)
+        self.valid_list = split_by_time(data.valid)
+        hlen = tc.train_history_len
+        self.store = build_snapshot_store(
+            self.train_list, data.num_nodes, data.num_rels,
+            edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
+            triple_bucket=tc.triple_bucket, pad_front=hlen,
+        )
+        from regcn_tpu.hyperbolic.train import compute_radius_targets
+
+        self.radius_target = compute_radius_targets(
+            self.train_list, data.num_nodes,
+            alpha=cfg.radius_alpha, beta=cfg.radius_beta,
+            radius_min=cfg.radius_min, radius_max=cfg.radius_max,
+        )
+
+        opt = optax.chain(
+            optax.clip_by_global_norm(tc.grad_norm),
+            optax.add_decayed_weights(tc.weight_decay),
+            optax.inject_hyperparams(optax.adam)(learning_rate=tc.lr),
+        )
+        self.opt = opt
+
+        def loss_fn(params, model_state, history, triples, mask, rng, tw):
+            _, losses, new_state, _ = hmodel.get_loss(
+                params, model_state, cfg, history, triples, mask,
+                rng=rng, train=True,
+            )
+            total = (tw * losses["entity"] + (1.0 - tw) * losses["relation"]
+                     + losses["static"] + losses["radius"])
+            return total, (losses, new_state)
+
+        def one_step(state, history, triples, mask, tw):
+            rng, step_rng = jax.random.split(state.rng)
+            grads, (losses, new_ms) = jax.grad(loss_fn, has_aux=True)(
+                state.params, state.model_state, history, triples, mask,
+                step_rng, tw)
+            updates, new_opt = opt.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return dataclass_replace(
+                state, params=new_params, opt_state=new_opt,
+                model_state=new_ms, rng=rng, step=state.step + 1), losses
+
+        def epoch_fn(states, store, order, tws):
+            def body(sts, i):
+                history = window_snapshot(store, i, hlen)
+                triples = store.triples[i + hlen]
+                mask = store.triple_mask[i + hlen]
+                return jax.vmap(one_step, in_axes=(0, None, None, None, 0))(
+                    sts, history, triples, mask, tws)
+
+            return jax.lax.scan(body, states, order)
+
+        self.epoch_fn = jax.jit(epoch_fn, donate_argnums=(0,))
+
+        ehlen = tc.test_history_len
+
+        def eval_fn(states, store, ent_rows, ent_cols, rel_rows, rel_cols):
+            def one_predict(state, history, triples, mask):
+                return hmodel.predict(state.params, state.model_state, cfg,
+                                      history, triples, mask)
+
+            def body(_, inputs):
+                t, er, ec, rr, rc = inputs
+                history = window_snapshot(store, t, ehlen)
+                triples = store.triples[t + ehlen]
+                mask = store.triple_mask[t + ehlen]
+                s_ob, s_rel = jax.vmap(one_predict, in_axes=(0, None, None, None))(
+                    states, history, triples, mask)
+                rank = jax.vmap(metrics.device_ranks, in_axes=(0, None))
+                frank = jax.vmap(metrics.device_filtered_ranks,
+                                 in_axes=(0, None, None, None))
+                return 0, (
+                    rank(s_ob, triples[:, 2]),
+                    frank(s_ob, triples[:, 2], er, ec),
+                    rank(s_rel, triples[:, 1]),
+                    frank(s_rel, triples[:, 1], rr, rc),
+                )
+
+            ts = jnp.arange(ent_rows.shape[0], dtype=jnp.int32)
+            _, ranks = jax.lax.scan(
+                body, 0, (ts, ent_rows, ent_cols, rel_rows, rel_cols))
+            return tuple(jnp.swapaxes(r, 0, 1) for r in ranks)
+
+        self.eval_fn = jax.jit(eval_fn)
+
+    def _init_states(self):
+        from regcn_tpu.hyperbolic import model as hmodel
+        from regcn_tpu.hyperbolic.train import HypTrainState
+
+        def one(key):
+            params, ms = hmodel.init_params(key, self.cfg, self.radius_target)
+            return HypTrainState(
+                params=params, opt_state=self.opt.init(params),
+                model_state=ms, est_state=None,
+                rng=jax.random.fold_in(key, 1),
+                step=jnp.zeros((), jnp.int32))
+
+        keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in self.seeds])
+        states = jax.vmap(one)(keys)
+        return dataclass_replace(
+            states,
+            opt_state=_set_learning_rates(
+                states.opt_state, jnp.asarray(np.asarray(self.lrs, np.float32))))
+
+    def run(self, n_epochs: Optional[int] = None):
+        import random as _random
+
+        from regcn_tpu.data.answers import build_answer_filters_by_time
+        from regcn_tpu.train.epoch import build_eval_store, stack_eval_filters
+
+        tc = self.tc
+        states = self._init_states()
+        tws = jnp.asarray(np.asarray(self.tws, np.float32))
+        for epoch in range(n_epochs or tc.n_epochs):
+            idx = list(range(1, len(self.train_list)))
+            _random.Random(tc.seed + epoch).shuffle(idx)
+            states, _ = self.epoch_fn(
+                states, self.store, jnp.asarray(np.asarray(idx, np.int32)), tws)
+
+        ent_f = build_answer_filters_by_time(self.data.valid, self.data.num_rels, False)
+        rel_f = build_answer_filters_by_time(self.data.valid, self.data.num_rels, True)
+        estore = build_eval_store(
+            self.train_list, self.valid_list, self.data.num_nodes,
+            self.data.num_rels, tc.test_history_len,
+            edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
+            triple_bucket=tc.triple_bucket)
+        er, ec = stack_eval_filters(ent_f, self.valid_list, self.data.num_rels,
+                                    tc.triple_bucket, rel_mode=False)
+        rr, rc = stack_eval_filters(rel_f, self.valid_list, self.data.num_rels,
+                                    tc.triple_bucket, rel_mode=True)
+        ranks = jax.device_get(self.eval_fn(states, estore, er, ec, rr, rc))
+        tmask = np.asarray(estore.triple_mask)[tc.test_history_len:] > 0
+        out = []
+        for k in range(self.n_models):
+            stats = {
+                key: metrics.stat_ranks(
+                    [arr[k][t][tmask[t]] for t in range(arr.shape[1])])
+                for key, arr in zip(
+                    ("ent_raw", "ent_filter", "rel_raw", "rel_filter"), ranks)
+            }
+            out.append({
+                "lr": float(self.lrs[k]), "task_weight": float(self.tws[k]),
+                "seed": int(self.seeds[k]),
+                "valid_ent_mrr_raw": stats["ent_raw"].mrr,
+                "stats": stats,
+            })
+        return out, states

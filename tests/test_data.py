@@ -113,3 +113,27 @@ def test_synthetic_generator_deterministic_and_temporal():
     test_facts = list(map(tuple, d1.test[:, :3].tolist()))
     recur = sum(1 for f in test_facts if f in train_facts) / len(test_facts)
     assert recur > 0.3, f"temporal recurrence too low: {recur}"
+
+
+def test_synthetic_static_graph():
+    """load_static on synthetic datasets generates an entity-word static
+    graph compatible with the --add-static-graph path."""
+    from regcn_tpu.data import load_data
+
+    d = load_data("synthetic-small", load_static=True, seed=5)
+    assert d.static_triples is not None and len(d.static_triples) > 0
+    assert d.num_words > 0 and d.num_static_rels > 0
+    assert d.static_triples[:, 0].max() < d.num_nodes
+    assert d.static_triples[:, 1].max() < d.num_static_rels
+    assert d.static_triples[:, 2].max() < d.num_words
+    # deterministic per seed
+    d2 = load_data("synthetic-small", load_static=True, seed=5)
+    np.testing.assert_array_equal(d.static_triples, d2.static_triples)
+
+
+def test_synthetic_presets_exist():
+    from regcn_tpu.data.synthetic import _PRESETS
+
+    for name in ("synthetic-icews14s", "synthetic-icews18", "synthetic-wiki",
+                 "synthetic-yago", "synthetic-gdelt"):
+        assert name in _PRESETS

@@ -56,3 +56,23 @@ def test_vectorized_sweep_matches_sequential(tiny_data):
         np.testing.assert_allclose(
             np.asarray(states.params["dynamic_emb"][k]),
             np.asarray(st.params["dynamic_emb"]), atol=2e-5)
+
+
+def test_hyperbolic_vectorized_sweep(tiny_data):
+    """Hyperbolic K-model sweep trains and evaluates; slices differ by lr."""
+    from regcn_tpu.hyperbolic.model import HyperbolicConfig
+    from regcn_tpu.train.sweep import HyperbolicSweepRunner
+
+    cfg = HyperbolicConfig(num_ents=tiny_data.num_nodes,
+                           num_rels=tiny_data.num_rels, h_dim=16, n_layers=2)
+    tc = TrainConfig(edge_bucket=32, rc_bucket=32, triple_bucket=32,
+                     train_history_len=3, n_epochs=2, lr=1e-3)
+    runner = HyperbolicSweepRunner(cfg, tc, tiny_data,
+                                   {"lr": [1e-3, 1e-2], "seed": [0, 0]})
+    results, states = runner.run(n_epochs=2)
+    assert len(results) == 2
+    for r in results:
+        assert 0 < r["valid_ent_mrr_raw"] <= 1
+    # different lrs from the same seed must produce different params
+    p = np.asarray(states.params["dynamic_emb"])
+    assert not np.allclose(p[0], p[1])
