@@ -266,7 +266,7 @@ def init_murp(
         p["entity_bias"] = jnp.zeros((num_entities,))
     if use_rel_curvature:
         theta = softplus_inverse(max(c_init * REL_C_INIT_RATIO, REL_C_EPS))
-        p["rel_curvature_raw"] = jnp.full((num_rels_total,), theta)
+        p["rel_curvature_raw"] = jnp.full((num_rels_total,), theta, jnp.float32)
     return p
 
 
@@ -379,7 +379,7 @@ def init_roth(
         p["entity_bias"] = jnp.zeros((num_entities,))
     if use_rel_curvature:
         theta = softplus_inverse(max(c_init * REL_C_INIT_RATIO, REL_C_EPS))
-        p["rel_curvature_raw"] = jnp.full((num_rels_total,), theta)
+        p["rel_curvature_raw"] = jnp.full((num_rels_total,), theta, jnp.float32)
     return p
 
 
@@ -497,7 +497,7 @@ def init_atth(
         p["entity_bias"] = jnp.zeros((num_entities,))
     if use_rel_curvature:
         theta = softplus_inverse(max(c_init * REL_C_INIT_RATIO, REL_C_EPS))
-        p["rel_curvature_raw"] = jnp.full((num_rels_total,), theta)
+        p["rel_curvature_raw"] = jnp.full((num_rels_total,), theta, jnp.float32)
     return p
 
 

@@ -159,7 +159,8 @@ def init_params(
     rt = (
         jnp.asarray(radius_target)
         if radius_target is not None
-        else jnp.full((cfg.num_ents,), 0.5 * (cfg.radius_min + cfg.radius_max))
+        else jnp.full((cfg.num_ents,), 0.5 * (cfg.radius_min + cfg.radius_max),
+                      jnp.float32)
     )
     # learnable copy of the target (ref :531) — explicit copy so the param
     # and the state buffer never alias (donation would otherwise double-free)

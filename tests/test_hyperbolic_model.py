@@ -404,3 +404,19 @@ def test_bf16_compute_mode_tracks_fp32(tiny_data):
         assert np.asarray(state.params["dynamic_emb"]).dtype == np.float32
         last[dt] = losses[-1]
     np.testing.assert_allclose(last["bfloat16"], last["float32"], rtol=0.05)
+
+
+@pytest.mark.parametrize("decoder", hmodel.DECODERS)
+def test_no_weak_typed_params(tiny_data, decoder):
+    """Weak-typed parameter leaves become strong after one optimizer
+    step, changing their aval and silently recompiling the whole fused
+    epoch program (~20 s wasted). Every param leaf must be strong."""
+    cfg = _cfg(tiny_data, decoder=decoder, learn_curvature=True,
+               use_rel_curvature=True, use_entity_bias=True, use_est=True)
+    params, _ = hmodel.init_params(jax.random.PRNGKey(0), cfg)
+    weak = [
+        jax.tree_util.keystr(k)
+        for k, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
+        if getattr(getattr(leaf, "aval", None), "weak_type", False)
+    ]
+    assert not weak, f"weak-typed param leaves: {weak}"
