@@ -43,7 +43,7 @@ VECTORIZABLE = ("lr", "task_weight", "seed")
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="regcn_tpu", description="TPU-native RE-GCN")
     p.add_argument("mode", choices=["train", "test", "grid", "bench",
-                                    "hyperbolic", "hisres"])
+                                    "hyperbolic", "hisres", "entity"])
     p.add_argument("-d", "--dataset", required=True)
     p.add_argument("--data-dir", default="data")
     p.add_argument("--checkpoint", default=None)
@@ -89,6 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tune", default="n_hidden,n_layers,dropout,n_bases")
     p.add_argument("--vectorize", action="store_true", default=False,
                    help="grid mode: vmap lr/task_weight/seed combos into one program")
+    # entity-classification mode (legacy RGCN task, ref:rgcn/knowledge_graph.py:82-86)
+    p.add_argument("--bfs-level", type=int, default=2)
+    p.add_argument("--relabel", action="store_true", default=False)
     # misc
     p.add_argument("--run-analysis", action="store_true", default=False)
     p.add_argument("--impl", default="xla", choices=["xla", "pallas"])
@@ -395,7 +398,36 @@ def main(argv=None):
         return run_hyperbolic(args)
     if args.mode == "hisres":
         return run_hisres(args)
+    if args.mode == "entity":
+        return run_entity(args)
     return run_single(args)
+
+
+def run_entity(args):
+    """Static-KB entity classification (legacy RGCN task; see
+    regcn_tpu/data/rdf.py + models/entity_classifier.py)."""
+    import jax
+
+    from regcn_tpu.data.rdf import load_entity_data
+    from regcn_tpu.models import entity_classifier as ec
+
+    data = load_entity_data(args.dataset, data_dir=args.data_dir,
+                            bfs_level=args.bfs_level, relabel=args.relabel,
+                            seed=args.seed)
+    logging.info("entity dataset %s: %d nodes, %d rels, %d classes, "
+                 "%d/%d train/test labeled", data.name, data.num_nodes,
+                 data.num_rels, data.num_classes, len(data.train_idx),
+                 len(data.test_idx))
+    cfg = ec.EntityClassifierConfig(
+        h_dim=args.n_hidden, n_bases=args.n_bases,
+        dropout=args.dropout, lr=args.lr, n_epochs=args.n_epochs)
+    params, losses = ec.fit(jax.random.PRNGKey(args.seed), data, cfg)
+    train_acc = ec.evaluate(params, data, cfg, idx=data.train_idx)
+    test_acc = ec.evaluate(params, data, cfg)
+    logging.info("final loss %.4f | train acc %.4f | test acc %.4f",
+                 float(losses[-1]), train_acc, test_acc)
+    return {"train_acc": train_acc, "test_acc": test_acc,
+            "final_loss": float(losses[-1])}
 
 
 if __name__ == "__main__":

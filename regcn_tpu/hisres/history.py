@@ -280,3 +280,28 @@ class HistoryStore:
             rc_mask=np.zeros(1, np.float32),
             num_edges=e, num_triples=len(triples),
         )
+
+
+def build_time_graph(num_timestamps: int, r_types, periods,
+                     num_rels: int, edge_bucket: int = 128) -> Snapshot:
+    """Periodic timestamp graph (parity: ref:hisres_rgcn/utils.py:408-446).
+
+    Nodes are timestamps; for each (relation type r, period p) pair an
+    edge t -> t+p is added for every t with t+p < num_timestamps.
+    Inverse edges carry r + num_rels and message normalisation is
+    1/in-degree with isolated nodes clamped to 1 — exactly the semantics
+    of ``build_snapshot``, so this is a thin triple generator over it.
+    (The reference keeps this builder unreferenced by its entry points;
+    provided here for library parity.)
+    """
+    rows = []
+    for r, p in zip(r_types, periods):
+        t = np.arange(0, num_timestamps - p, p, dtype=np.int64)
+        if len(t):
+            rows.append(np.stack([t, np.full(len(t), r, np.int64), t + p], 1))
+    triples = (np.concatenate(rows) if rows
+               else np.zeros((0, 3), np.int64))
+    from regcn_tpu.data.snapshots import build_snapshot
+
+    return build_snapshot(triples, num_timestamps, num_rels,
+                          edge_bucket=edge_bucket)

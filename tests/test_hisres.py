@@ -156,3 +156,25 @@ def test_hisres_multi_step_inference(tiny_data):
     stats = trainer.test(state, multi_step=True, topk=5)
     for key in ("ent_raw", "ent_filter", "rel_raw", "rel_filter"):
         assert np.isfinite(stats[key].mrr) and 0 < stats[key].mrr <= 1
+
+
+def test_build_time_graph():
+    """Periodic timestamp graph (parity: ref:hisres_rgcn/utils.py:408-446)."""
+    import numpy as np
+
+    from regcn_tpu.hisres.history import build_time_graph
+
+    g = build_time_graph(10, r_types=[0, 1], periods=[1, 3], num_rels=2)
+    # forward edges: 9 of period 1 (rel 0) + 3 of period 3 (rel 1)
+    assert g.num_triples == 12
+    live = g.edge_mask > 0
+    edges = set(zip(g.src[live].tolist(), g.rel[live].tolist(),
+                    g.dst[live].tolist()))
+    assert (0, 0, 1) in edges and (8, 0, 9) in edges
+    assert (0, 1, 3) in edges and (6, 1, 9) in edges
+    # inverse edges carry rel + num_rels
+    assert (1, 2, 0) in edges and (3, 3, 0) in edges
+    # in-degree norm: node 0 receives only inverse edges (from 1 and 3)
+    assert np.isclose(g.in_deg_norm[0], 0.5)
+    # isolated-node clamp: all norms finite and <= 1
+    assert np.all(g.in_deg_norm <= 1.0) and np.all(g.in_deg_norm > 0)
