@@ -217,6 +217,7 @@ def run_hisres(args) -> dict:
         num_static_rels=data.num_static_rels, num_words=data.num_words,
         n_bases=args.n_bases, static_weight=args.weight,
         discount=args.discount, angle=args.angle,
+        compute_dtype=args.compute_dtype,
     )
     tc = TrainConfig(
         lr=args.lr, grad_norm=args.grad_norm, n_epochs=args.n_epochs,
@@ -267,6 +268,7 @@ def make_experiment(args, data):
         static_weight=args.weight,
         discount=args.discount,
         angle=args.angle,
+        dtype=args.compute_dtype,
     )
     train = TrainConfig(
         lr=args.lr,

@@ -62,6 +62,9 @@ class HisResConfig:
     discount: float = 1.0
     angle: float = 10.0
     cand_dropout: float = 0.2  # fixed in the reference cell (ref :70-71)
+    # bfloat16 activations/weights on the compute path; parameters,
+    # optimizer, BN statistics and CE reductions stay fp32
+    compute_dtype: str = "float32"
 
     @property
     def num_rels_total(self) -> int:
@@ -154,7 +157,9 @@ def _stream(params, cfg, history, h_init, prefix: str, time_encode: bool,
         if time_encode:
             # LogCL cosine time encoding (ref :274-277); t2 = T - i + 1
             t2 = (T - step_idx + 1).astype(jnp.float32)
-            h_t = jnp.cos(params["weight_t2"] * t2 + params["bias_t2"])
+            # cos computed fp32, result back in the compute dtype
+            h_t = jnp.cos(params["weight_t2"].astype(jnp.float32) * t2
+                          + params["bias_t2"].astype(jnp.float32)).astype(h.dtype)
             h_t = jnp.broadcast_to(h_t, h.shape)
             h = jnp.concatenate([h, h_t], axis=1) @ params["time_linear_w"].T + params["time_linear_b"]
 

@@ -22,6 +22,7 @@ import optax
 
 from regcn_tpu.config import TrainConfig
 from regcn_tpu.data.answers import build_answer_filters_by_time
+from regcn_tpu.utils.dtypes import tree_to_compute, tree_to_fp32
 from regcn_tpu.data.dataset import TKGData
 from regcn_tpu.data.snapshots import build_history, build_snapshot, pad_triples, split_by_time
 from regcn_tpu.hisres import model as hmodel
@@ -114,9 +115,13 @@ class HisResTrainer:
 
     def _build_steps(self):
         cfg, tc, opt = self.cfg, self.tc, self.opt
+        cdt = jnp.dtype(cfg.compute_dtype)
 
         def loss_fn(params, model_state, history, history_gg, triples, inv_triples,
                     mask, hg_raw, hg_inv, rel_vocab, rng):
+            params = tree_to_compute(params, cdt)
+            history = tree_to_compute(history, cdt)
+            history_gg = tree_to_compute(history_gg, cdt)
             _, losses, new_state = hmodel.get_loss(
                 params, model_state, cfg, history, history_gg, triples,
                 inv_triples, mask, hg_raw, hg_inv, rel_vocab,
@@ -134,6 +139,9 @@ class HisResTrainer:
                 state.params, state.model_state, history, history_gg, triples,
                 inv_triples, mask, hg_raw, hg_inv, rel_vocab, step_rng,
             )
+            if cdt != jnp.float32:
+                grads = tree_to_fp32(grads)
+                losses = tree_to_fp32(losses)
             updates, new_opt = opt.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             return (
@@ -564,7 +572,10 @@ class HisResTrainer:
                      epoch, losses["entity"], losses["relation"], losses["static"],
                      mrr, time.time() - t0)
             if mrr > best_mrr:
-                best_mrr, best_state = mrr, state
+                # deep copy: the next epoch donates `state`'s buffers
+                from regcn_tpu.train.state import copy_state
+
+                best_mrr, best_state = mrr, copy_state(state)
                 if checkpoint_path:
                     from regcn_tpu.train.state import save_checkpoint
 

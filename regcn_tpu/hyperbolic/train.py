@@ -583,7 +583,10 @@ class HyperbolicTrainer:
                      epoch, losses["entity"], losses["relation"], losses["static"],
                      losses["radius"], mrr, dt)
             if mrr > best_mrr:
-                best_mrr, best_state, bad_epochs = mrr, state, 0
+                # deep copy: the next epoch donates `state`'s buffers
+                from regcn_tpu.train.state import copy_state
+
+                best_mrr, best_state, bad_epochs = mrr, copy_state(state), 0
                 if checkpoint_path:
                     from regcn_tpu.train.state import save_checkpoint
 

@@ -63,8 +63,13 @@ def union_rgcn_layer(
     if "loop_w" in params:
         # dual self-loop: evolve_loop_weight for isolated nodes
         # (ref:rgcn/layers.py:226-233)
-        loop_in = jnp.dot(h, params["loop_w"], preferred_element_type=jnp.float32)
-        loop_iso = jnp.dot(h, params["evolve_loop_w"], preferred_element_type=jnp.float32)
+        # fp32 MXU accumulation, result back in the compute dtype
+        loop_in = jnp.dot(
+            h, params["loop_w"], preferred_element_type=jnp.float32
+        ).astype(h.dtype)
+        loop_iso = jnp.dot(
+            h, params["evolve_loop_w"], preferred_element_type=jnp.float32
+        ).astype(h.dtype)
         loop = jnp.where(snap.has_in_edge[:, None] > 0, loop_in, loop_iso)
         node_repr = node_repr + loop
     if prev_h is not None and "skip_w" in params:

@@ -53,6 +53,8 @@ def _rgcn_aggregate_xla(h, rel_emb, weight, src, dst, rel, edge_mask, in_deg_nor
     n = h.shape[0]
     msg = (h[src] + rel_emb[rel]).astype(weight.dtype)
     msg = jnp.dot(msg, weight, preferred_element_type=jnp.float32)
-    msg = msg * edge_mask[:, None]
+    msg = msg * edge_mask[:, None].astype(msg.dtype)
+    # scatter accumulates in fp32 (preferred_element_type above); the
+    # result returns to the compute dtype so bf16 mode keeps a bf16 carry
     agg = jax.ops.segment_sum(msg, dst, num_segments=n)
-    return agg * in_deg_norm[:, None]
+    return (agg * in_deg_norm[:, None].astype(msg.dtype)).astype(h.dtype)

@@ -28,6 +28,7 @@ from regcn_tpu.config import ModelConfig, TrainConfig
 from regcn_tpu.data.snapshots import Snapshot, _round_up, build_snapshot, pad_triples
 from regcn_tpu.models import recurrent
 from regcn_tpu.train.state import TrainState, make_optimizer
+from regcn_tpu.utils.dtypes import tree_to_compute, tree_to_fp32
 
 
 @jax.tree_util.register_dataclass
@@ -160,8 +161,11 @@ def make_epoch_fn(
     """
     opt = make_optimizer(tc)
     hlen = tc.train_history_len
+    cdt = jnp.dtype(cfg.dtype)
 
     def loss_fn(params, model_state, history, triples, mask, rng):
+        params = tree_to_compute(params, cdt)
+        history = tree_to_compute(history, cdt)
         _, losses, new_state = recurrent.get_loss(
             params, model_state, cfg, history, triples, mask,
             static_snap=static_snap, rng=rng, train=True, impl=impl,
@@ -182,6 +186,9 @@ def make_epoch_fn(
             grads, (losses, new_model_state) = jax.grad(loss_fn, has_aux=True)(
                 st.params, st.model_state, history, triples, mask, step_rng
             )
+            if cdt != jnp.float32:
+                grads = tree_to_fp32(grads)
+                losses = tree_to_fp32(losses)
             updates, new_opt_state = opt.update(grads, st.opt_state, st.params)
             new_params = jax.tree.map(lambda p, u: p + u, st.params, updates)
             new_st = TrainState(

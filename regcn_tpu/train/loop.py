@@ -96,7 +96,13 @@ class Trainer:
 
         mc, tc = cfg.model, cfg.train
 
+        from regcn_tpu.utils.dtypes import tree_to_compute, tree_to_fp32
+
+        cdt = jnp.dtype(mc.dtype)
+
         def loss_fn(params, model_state, history, triples, mask, rng):
+            params = tree_to_compute(params, cdt)
+            history = tree_to_compute(history, cdt)
             loss_ent, losses, new_state = recurrent.get_loss(
                 params, model_state, mc, history, triples, mask,
                 static_snap=self.static_snap, rng=rng, train=True, impl=impl,
@@ -115,6 +121,9 @@ class Trainer:
             grads, (losses, new_model_state) = jax.grad(loss_fn, has_aux=True)(
                 state.params, state.model_state, history, triples, mask, step_rng
             )
+            if cdt != jnp.float32:
+                grads = tree_to_fp32(grads)
+                losses = tree_to_fp32(losses)
             updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
             new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
             new_state = TrainState(
@@ -401,7 +410,10 @@ class Trainer:
                 )
                 if mrr > best_mrr:
                     best_mrr = mrr
-                    best_state = state
+                    # deep copy: the next epoch donates `state`'s buffers
+                    from regcn_tpu.train.state import copy_state
+
+                    best_state = copy_state(state)
                     if checkpoint_path:
                         from regcn_tpu.train.state import save_checkpoint
 

@@ -84,3 +84,17 @@ def restore_checkpoint(path: str, template: TrainState):
         with open(meta_path) as f:
             meta = json.load(f)
     return state, meta
+
+
+def copy_state(state):
+    """Deep device copy of a train-state pytree.
+
+    The train/epoch steps donate their input state
+    (``donate_argnums=(0,)``), so stashing a reference to a state that
+    will be trained further (e.g. the best-on-valid state) keeps aliases
+    to buffers the NEXT step destroys — using them later fails with a
+    deleted-array / backend error. Stash a copy instead.
+    """
+    return jax.tree.map(
+        lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state
+    )

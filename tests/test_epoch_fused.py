@@ -82,3 +82,31 @@ def test_fused_epoch_matches_per_step_path():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=3e-4)
     # mean entity loss agrees
     np.testing.assert_allclose(np.mean(losses_a), avg["entity"], rtol=1e-4)
+
+
+def test_bf16_compute_mode_tracks_fp32():
+    """Euclidean bf16 compute mode: params stay fp32, loss trajectory
+    within a few percent of fp32 (mirrors the hyperbolic-path test)."""
+    data = generate("synthetic-small", seed=9, num_ents=60, num_rels=5,
+                    num_snaps=16, triples_per_snap=40, split=(12, 2, 2))
+    last = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = ExperimentConfig(
+            model=ModelConfig(num_ents=data.num_nodes, num_rels=data.num_rels,
+                              h_dim=16, n_layers=2, dropout=0.0,
+                              input_dropout=0.0, hidden_dropout=0.0,
+                              feat_dropout=0.0, dtype=dt),
+            train=TrainConfig(train_history_len=3, edge_bucket=32,
+                              rc_bucket=32, triple_bucket=32),
+            data=DataConfig(),
+        )
+        trainer = Trainer(cfg, data)
+        state = create_train_state(jax.random.PRNGKey(0), cfg.model, cfg.train)
+        losses = []
+        for e in range(3):
+            state, ls = trainer.run_epoch_fused(state, e)
+            losses.append(float(np.mean(np.asarray(ls["entity"]))))
+        assert losses[-1] < losses[0]
+        assert np.asarray(state.params["dynamic_emb"]).dtype == np.float32
+        last[dt] = losses[-1]
+    np.testing.assert_allclose(last["bfloat16"], last["float32"], rtol=0.05)

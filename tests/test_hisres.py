@@ -178,3 +178,30 @@ def test_build_time_graph():
     assert np.isclose(g.in_deg_norm[0], 0.5)
     # isolated-node clamp: all norms finite and <= 1
     assert np.all(g.in_deg_norm <= 1.0) and np.all(g.in_deg_norm > 0)
+
+
+def test_hisres_bf16_compute_mode_tracks_fp32(tiny_data):
+    """HisRES bf16 compute mode: params stay fp32, loss trajectory within
+    a few percent of the fp32 run."""
+    from regcn_tpu.config import TrainConfig
+
+    last = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = HisResConfig(num_ents=tiny_data.num_nodes,
+                           num_rels=tiny_data.num_rels, h_dim=16,
+                           n_layers=1, dropout=0.0, input_dropout=0.0,
+                           hidden_dropout=0.0, feat_dropout=0.0,
+                           cand_dropout=0.0, compute_dtype=dt)
+        tc = TrainConfig(train_history_len=2, test_history_len=2,
+                         edge_bucket=32, rc_bucket=32, triple_bucket=32,
+                         seed=5)
+        trainer = HisResTrainer(cfg, tc, tiny_data)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        losses = []
+        for e in range(3):
+            state, ls = trainer.run_epoch(state, e)
+            losses.append(float(np.mean(np.asarray(ls["entity"]))))
+        assert losses[-1] < losses[0]
+        assert np.asarray(state.params["dynamic_emb"]).dtype == np.float32
+        last[dt] = losses[-1]
+    np.testing.assert_allclose(last["bfloat16"], last["float32"], rtol=0.05)

@@ -153,3 +153,49 @@ def test_fused_eval_short_history_front_pad(tiny_experiment):
     stats = trainer.evaluate_fused(
         state, trainer.train_list[:1], trainer.valid_list)
     assert 0 < stats["ent_raw"].mrr <= 1
+
+
+def test_best_state_survives_donation():
+    """fit() stashes the best-on-valid state; later epochs donate the
+    live state's buffers, so the stash must be a deep copy. Regression:
+    using the returned best state after a best!=last run crashed with a
+    deleted-array/backend error."""
+    import jax
+
+    from regcn_tpu.config import DataConfig, ExperimentConfig, ModelConfig, TrainConfig
+    from regcn_tpu.data.synthetic import generate
+    from regcn_tpu.train.loop import Trainer
+
+    data = generate("synthetic-small", seed=9, num_ents=60, num_rels=5,
+                    num_snaps=16, triples_per_snap=40, split=(12, 2, 2))
+    cfg = ExperimentConfig(
+        model=ModelConfig(num_ents=data.num_nodes, num_rels=data.num_rels,
+                          h_dim=16, n_layers=1),
+        train=TrainConfig(n_epochs=3, train_history_len=2,
+                          test_history_len=2, edge_bucket=32, rc_bucket=32,
+                          triple_bucket=32),
+        data=DataConfig(),
+    )
+    trainer = Trainer(cfg, data)
+    best, info = trainer.fit()
+    deleted = [
+        p for p, x in jax.tree_util.tree_flatten_with_path(best)[0]
+        if isinstance(x, jax.Array) and x.is_deleted()
+    ]
+    assert not deleted, deleted
+    # and the stashed state is actually usable
+    stats = trainer.test(best)
+    assert stats["ent_raw"].mrr > 0.0
+
+    # deterministic core of the bug: a bare reference is destroyed by the
+    # next (donating) epoch, a copy_state stash survives
+    from regcn_tpu.train.state import copy_state, create_train_state
+
+    state = create_train_state(jax.random.PRNGKey(0), cfg.model, cfg.train)
+    state, _ = trainer.run_epoch_fused(state, 0)
+    bare, stash = state, copy_state(state)
+    state, _ = trainer.run_epoch_fused(state, 1)  # donates `bare`'s buffers
+    assert any(isinstance(x, jax.Array) and x.is_deleted()
+               for x in jax.tree.leaves(bare))
+    assert not any(isinstance(x, jax.Array) and x.is_deleted()
+                   for x in jax.tree.leaves(stash))
