@@ -73,14 +73,14 @@ def bench_hyperbolic(data, compute_dtype="bfloat16"):
     return n_snaps / dt, edges / dt, dt, n_snaps
 
 
-def bench_euclidean(data):
+def bench_euclidean(data, compute_dtype="float32"):
     from regcn_tpu.config import ExperimentConfig, ModelConfig, TrainConfig
     from regcn_tpu.train.loop import Trainer
     from regcn_tpu.train.state import create_train_state
 
     cfg = ExperimentConfig(
         model=ModelConfig(num_ents=data.num_nodes, num_rels=data.num_rels,
-                          h_dim=200, n_layers=2),
+                          h_dim=200, n_layers=2, dtype=compute_dtype),
         train=TrainConfig(train_history_len=3, edge_bucket=128,
                           rc_bucket=128, triple_bucket=128),
     )
@@ -105,7 +105,7 @@ def main():
     data = generate("synthetic-icews14s", seed=123)
     snaps_per_s, edges_per_s, epoch_s, n_snaps = bench_hyperbolic(data)
     f32_snaps_per_s, _, _, _ = bench_hyperbolic(data, compute_dtype="float32")
-    eu_snaps_per_s = bench_euclidean(data)
+    eu_snaps_per_s = bench_euclidean(data, compute_dtype="bfloat16")
 
     print(json.dumps({
         "metric": "train_snapshots_per_s",
@@ -120,7 +120,7 @@ def main():
             "epoch_s": round(epoch_s, 3),
             "baseline_snapshots_per_s": round(BASELINE_SNAPS_PER_S, 2),
             "fp32_snapshots_per_s": round(f32_snaps_per_s, 2),
-            "euclidean_regcn_snapshots_per_s": round(eu_snaps_per_s, 2),
+            "euclidean_regcn_bf16_snapshots_per_s": round(eu_snaps_per_s, 2),
             "device": str(jax.devices()[0]),
             "snapshots_per_epoch": int(n_snaps),
         },

@@ -22,7 +22,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _ensure_mesh():
+    """Fall back to an 8-device virtual CPU mesh on single-chip hosts.
+
+    XLA parses ``XLA_FLAGS`` once at first backend initialisation and
+    sitecustomize pre-imports jax on this platform, so the fallback must
+    re-exec: the child sets the flag before any backend exists and
+    forces the cpu platform before touching devices."""
+    import os
+
+    if os.environ.get("_REGCN_SCALING_CHILD") == "1":
+        jax.config.update("jax_platforms", "cpu")
+        return
+    if len(jax.devices()) >= 2:
+        return
+    env = dict(os.environ)
+    env["_REGCN_SCALING_CHILD"] = "1"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    os.execve(sys.executable,
+              [sys.executable, os.path.abspath(__file__)] + sys.argv[1:], env)
+
+
 def main(num_ents=16384, num_rels=200, num_edges=131072, d=200, steps=20):
+    _ensure_mesh()
     from regcn_tpu.parallel.halo import partition_edges_by_dst, sharded_rgcn_aggregate
     from regcn_tpu.parallel.mesh import MeshAxes, make_mesh
 
