@@ -106,12 +106,16 @@ class HyperbolicTrainer:
         data: TKGData,
         triple_batch_size: Optional[int] = None,
         curvature_warmup_epochs: int = 0,
+        mesh=None,
     ):
         self.cfg = cfg
         self.tc = tc
         self.data = data
         self.triple_batch_size = triple_batch_size
         self.curvature_warmup_epochs = curvature_warmup_epochs
+        # optional jax.sharding.Mesh: entity tables/moments row-sharded
+        # over the graph axis (GSPMD), same rules as parallel/sharding.py
+        self.mesh = mesh
         self.num_rels = data.num_rels
         self.num_nodes = data.num_nodes
         self.train_list = split_by_time(data.train)
@@ -153,6 +157,24 @@ class HyperbolicTrainer:
     def _build_steps(self):
         cfg, tc, opt = self.cfg, self.tc, self.opt
         cdt = jnp.dtype(cfg.compute_dtype)
+        mesh = self.mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from regcn_tpu.parallel.mesh import GRAPH_AXIS
+
+            _ent_rows = NamedSharding(mesh, P(GRAPH_AXIS, None))
+
+        def constrain_entities(params):
+            """Re-pin the entity table's row sharding across scan steps
+            so GSPMD keeps the RGCN scatter and the decoder candidate
+            axis shard-local (no-op without a mesh)."""
+            if mesh is None:
+                return params
+            params = dict(params)
+            params["dynamic_emb"] = jax.lax.with_sharding_constraint(
+                params["dynamic_emb"], _ent_rows)
+            return params
 
         def to_compute(tree):
             """Cast fp32 array leaves (ndim >= 1) to the compute dtype;
@@ -196,7 +218,7 @@ class HyperbolicTrainer:
                 grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
                 losses = jax.tree.map(lambda l: l.astype(jnp.float32), losses)
             updates, new_opt = opt.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
+            new_params = constrain_entities(optax.apply_updates(state.params, updates))
             new_est = state.est_state
             if cfg.use_est and new_est is not None:
                 # H-PES writeback from the enriched embeddings (ref :650-671)
@@ -312,11 +334,17 @@ class HyperbolicTrainer:
             est_mod.init_est_state(self.cfg.num_ents, self.cfg.h_dim)
             if self.cfg.use_est else None
         )
-        return HypTrainState(
+        state = HypTrainState(
             params=params, opt_state=self.opt.init(params),
             model_state=model_state, est_state=est_state,
             rng=jax.random.fold_in(rng, 1), step=jnp.zeros((), jnp.int32),
         )
+        if self.mesh is not None:
+            from regcn_tpu.parallel.sharding import param_sharding_rules
+
+            state = jax.device_put(
+                state, param_sharding_rules(state, self.mesh))
+        return state
 
     # ------------------------------------------------------------------ data
     def _history(self, snaps, cache_key=None):
@@ -448,6 +476,10 @@ class HyperbolicTrainer:
                     edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
                     triple_bucket=tc.triple_bucket, pad_front=hlen,
                 )
+                if self.mesh is not None:
+                    from regcn_tpu.parallel.sharding import shard_snapshot_store
+
+                    self._store = shard_snapshot_store(self._store, self.mesh)
                 triples_all = np.asarray(self._store.triples[hlen:])
                 masks_all = np.asarray(self._store.triple_mask[hlen:])
                 self._train_est_store = self._build_est_store(

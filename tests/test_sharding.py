@@ -103,3 +103,44 @@ def test_sharded_fused_epoch_matches_unsharded(mesh):
     np.testing.assert_allclose(
         np.asarray(state_sh.params["dynamic_emb"]),
         np.asarray(state_ref.params["dynamic_emb"]), atol=2e-5)
+
+
+def test_hyperbolic_sharded_fused_epoch_matches_unsharded():
+    """HyperbolicTrainer(mesh=...): the flagship family's fused epoch runs
+    row-sharded over the graph axis, numerically matching the unsharded
+    run; the entity table stays sharded across the whole-epoch scan."""
+    from regcn_tpu.data.synthetic import generate
+    from regcn_tpu.hyperbolic.model import HyperbolicConfig
+    from regcn_tpu.hyperbolic.train import HyperbolicTrainer
+
+    data = generate("synthetic-small", seed=11, num_ents=64, num_rels=5,
+                    num_snaps=12, triples_per_snap=30, split=(8, 2, 2))
+    cfg = HyperbolicConfig(num_ents=data.num_nodes, num_rels=data.num_rels,
+                           h_dim=16, n_layers=1, dropout=0.0)
+    tc = TrainConfig(edge_bucket=32, rc_bucket=32, triple_bucket=32,
+                     train_history_len=2, test_history_len=2, lr=5e-3)
+
+    results = {}
+    for name, mesh in (("single", None),
+                       ("sharded", make_mesh(MeshAxes(data=1, graph=8)))):
+        trainer = HyperbolicTrainer(cfg, tc, data, mesh=mesh)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        if mesh is not None:
+            assert state.params["dynamic_emb"].sharding.spec[0] == "graph"
+        losses = []
+        for e in range(2):
+            state, ls = trainer.run_epoch(state, e)
+            losses.append(ls["entity"])
+        if mesh is not None:
+            assert state.params["dynamic_emb"].sharding.spec[0] == "graph"
+        results[name] = (np.asarray(state.params["dynamic_emb"],
+                                    dtype=np.float32), losses)
+
+    # sharded reductions (segment-sum shards + psum'd logsumexp) change
+    # summation order; drift compounds across the 2nd epoch's steps
+    np.testing.assert_allclose(results["single"][1], results["sharded"][1],
+                               rtol=2e-3)
+    # Adam's 1/sqrt(v) amplifies tiny grad drift for near-zero entries;
+    # compare absolutely (entries are O(1))
+    np.testing.assert_allclose(results["single"][0], results["sharded"][0],
+                               atol=5e-3)
