@@ -78,10 +78,14 @@ def union_snapshots(input_list: List[np.ndarray]) -> List[np.ndarray]:
 
 class HisResTrainer:
     def __init__(self, cfg: HisResConfig, tc: TrainConfig, data: TKGData,
-                 his_edge_bucket: int = 4096, his_max_edges: Optional[int] = 65536):
+                 his_edge_bucket: int = 4096, his_max_edges: Optional[int] = 65536,
+                 mesh=None):
         self.cfg = cfg
         self.tc = tc
         self.data = data
+        # optional jax.sharding.Mesh: entity tables/moments row-sharded
+        # over the graph axis (GSPMD), same rules as parallel/sharding.py
+        self.mesh = mesh
         self.num_rels = data.num_rels
         self.num_nodes = data.num_nodes
         self.his_edge_bucket = his_edge_bucket
@@ -116,6 +120,23 @@ class HisResTrainer:
     def _build_steps(self):
         cfg, tc, opt = self.cfg, self.tc, self.opt
         cdt = jnp.dtype(cfg.compute_dtype)
+        mesh = self.mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from regcn_tpu.parallel.mesh import GRAPH_AXIS
+
+            _ent_rows = NamedSharding(mesh, P(GRAPH_AXIS, None))
+
+        def constrain_entities(params):
+            """Keep the entity table row-sharded across scan steps
+            (no-op without a mesh); same rules as parallel/sharding.py."""
+            if mesh is None:
+                return params
+            params = dict(params)
+            params["dynamic_emb"] = jax.lax.with_sharding_constraint(
+                params["dynamic_emb"], _ent_rows)
+            return params
 
         def loss_fn(params, model_state, history, history_gg, triples, inv_triples,
                     mask, hg_raw, hg_inv, rel_vocab, rng):
@@ -143,7 +164,7 @@ class HisResTrainer:
                 grads = tree_to_fp32(grads)
                 losses = tree_to_fp32(losses)
             updates, new_opt = opt.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
+            new_params = constrain_entities(optax.apply_updates(state.params, updates))
             return (
                 HisResTrainState(params=new_params, opt_state=new_opt,
                                  model_state=new_model_state, rng=rng,
@@ -330,14 +351,26 @@ class HisResTrainer:
             self._gg_store = self._g_store
         self._his_store = self._build_his_store(
             self.train_list, times=list(range(len(self.train_list))))
+        if self.mesh is not None:
+            from regcn_tpu.parallel.sharding import shard_snapshot_store
+
+            self._g_store = shard_snapshot_store(self._g_store, self.mesh)
+            if self._gg_store is not self._g_store:
+                self._gg_store = shard_snapshot_store(self._gg_store, self.mesh)
 
     def init_state(self, rng: jax.Array) -> HisResTrainState:
         params, model_state = hmodel.init_params(rng, self.cfg)
-        return HisResTrainState(
+        state = HisResTrainState(
             params=params, opt_state=self.opt.init(params),
             model_state=model_state, rng=jax.random.fold_in(rng, 7),
             step=jnp.zeros((), jnp.int32),
         )
+        if self.mesh is not None:
+            from regcn_tpu.parallel.sharding import param_sharding_rules
+
+            state = jax.device_put(
+                state, param_sharding_rules(state, self.mesh))
+        return state
 
     # ------------------------------------------------------------------ data
     def _history(self, snaps, key=None):

@@ -144,3 +144,41 @@ def test_hyperbolic_sharded_fused_epoch_matches_unsharded():
     # compare absolutely (entries are O(1))
     np.testing.assert_allclose(results["single"][0], results["sharded"][0],
                                atol=5e-3)
+
+
+def test_hisres_sharded_fused_epoch_matches_unsharded():
+    """HisResTrainer(mesh=...): two-stream fused epoch runs entity-sharded
+    and matches the single-device run."""
+    from regcn_tpu.data.synthetic import generate
+    from regcn_tpu.hisres.model import HisResConfig
+    from regcn_tpu.hisres.train import HisResTrainer
+
+    # entity count must divide the graph axis (shardings are row-exact)
+    data = generate("synthetic-small", seed=31, num_ents=64, num_rels=4,
+                    num_snaps=12, triples_per_snap=30, split=(8, 2, 2))
+    cfg = HisResConfig(num_ents=data.num_nodes, num_rels=data.num_rels,
+                       h_dim=16, n_layers=1, dropout=0.0, input_dropout=0.0,
+                       hidden_dropout=0.0, feat_dropout=0.0, cand_dropout=0.0)
+    tc = TrainConfig(edge_bucket=32, rc_bucket=32, triple_bucket=32,
+                     train_history_len=2, test_history_len=2, seed=5)
+
+    results = {}
+    for name, mesh in (("single", None),
+                       ("sharded", make_mesh(MeshAxes(data=1, graph=8)))):
+        trainer = HisResTrainer(cfg, tc, data, mesh=mesh)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        if mesh is not None:
+            assert state.params["dynamic_emb"].sharding.spec[0] == "graph"
+        losses = []
+        for e in range(2):
+            state, ls = trainer.run_epoch(state, e)
+            losses.append(ls["entity"])
+        if mesh is not None:
+            assert state.params["dynamic_emb"].sharding.spec[0] == "graph"
+        results[name] = (np.asarray(state.params["dynamic_emb"],
+                                    dtype=np.float32), losses)
+
+    np.testing.assert_allclose(results["single"][1], results["sharded"][1],
+                               rtol=2e-3)
+    np.testing.assert_allclose(results["single"][0], results["sharded"][0],
+                               atol=5e-3)
