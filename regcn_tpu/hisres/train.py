@@ -86,6 +86,10 @@ class HisResTrainer:
         # optional jax.sharding.Mesh: entity tables/moments row-sharded
         # over the graph axis (GSPMD), same rules as parallel/sharding.py
         self.mesh = mesh
+        if mesh is not None:
+            from regcn_tpu.parallel.mesh import check_entity_divisibility
+
+            check_entity_divisibility(cfg.num_ents, mesh)
         self.num_rels = data.num_rels
         self.num_nodes = data.num_nodes
         self.his_edge_bucket = his_edge_bucket

@@ -116,6 +116,10 @@ class HyperbolicTrainer:
         # optional jax.sharding.Mesh: entity tables/moments row-sharded
         # over the graph axis (GSPMD), same rules as parallel/sharding.py
         self.mesh = mesh
+        if mesh is not None:
+            from regcn_tpu.parallel.mesh import check_entity_divisibility
+
+            check_entity_divisibility(cfg.num_ents, mesh)
         self.num_rels = data.num_rels
         self.num_nodes = data.num_nodes
         self.train_list = split_by_time(data.train)

@@ -44,3 +44,21 @@ def make_mesh(
         raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
     dev_array = np.asarray(devices[:n]).reshape(axes.data, axes.graph)
     return Mesh(dev_array, (DATA_AXIS, GRAPH_AXIS))
+
+
+def check_entity_divisibility(num_ents: int, mesh: Mesh) -> None:
+    """Row-exact entity sharding requires num_ents % graph_size == 0.
+
+    Raised early with an actionable message instead of XLA's generic
+    divisibility error. Datasets whose entity count is not a multiple of
+    the mesh should pad the id space with inert entities (never appearing
+    in any triple); note padded ids DO participate in full-candidate
+    scoring, so also extend filter/answer masks if exact MRR parity with
+    the unpadded run is required.
+    """
+    g = mesh.shape[GRAPH_AXIS]
+    if num_ents % g != 0:
+        raise ValueError(
+            f"num_ents={num_ents} is not divisible by the '{GRAPH_AXIS}' "
+            f"mesh axis ({g}); pad the entity id space to "
+            f"{((num_ents + g - 1) // g) * g} (see docstring)")

@@ -182,3 +182,18 @@ def test_hisres_sharded_fused_epoch_matches_unsharded():
                                rtol=2e-3)
     np.testing.assert_allclose(results["single"][0], results["sharded"][0],
                                atol=5e-3)
+
+
+def test_entity_divisibility_error_is_actionable():
+    from regcn_tpu.data.synthetic import generate
+    from regcn_tpu.hyperbolic.model import HyperbolicConfig
+    from regcn_tpu.hyperbolic.train import HyperbolicTrainer
+
+    data = generate("synthetic-small", seed=31, num_ents=50, num_rels=4,
+                    num_snaps=12, triples_per_snap=30, split=(8, 2, 2))
+    cfg = HyperbolicConfig(num_ents=data.num_nodes, num_rels=data.num_rels,
+                           h_dim=16, n_layers=1)
+    tc = TrainConfig(edge_bucket=32, rc_bucket=32, triple_bucket=32)
+    with pytest.raises(ValueError, match="pad the entity id space to 56"):
+        HyperbolicTrainer(cfg, tc, data,
+                          mesh=make_mesh(MeshAxes(data=1, graph=8)))
