@@ -53,6 +53,24 @@ def _set_learning_rates(opt_state, lrs: jax.Array):
     return jax.tree_util.tree_map_with_path(replace, opt_state)
 
 
+def model_axis_shardings(tree, mesh):
+    """NamedSharding pytree for a vmap-stacked state: the leading model
+    axis of every array leaf is sharded over the ``data`` mesh axis
+    (models are independent, so the sweep scales embarrassingly —
+    no collectives beyond the stacked-loss gather)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from regcn_tpu.parallel.mesh import DATA_AXIS
+
+    def rule(leaf):
+        nd = getattr(leaf, "ndim", 0)
+        if nd >= 1:
+            return NamedSharding(mesh, P(DATA_AXIS, *([None] * (nd - 1))))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, tree)
+
+
 def make_sweep(
     cfg: ModelConfig,
     tc: TrainConfig,
@@ -60,6 +78,7 @@ def make_sweep(
     static_snap=None,
     impl: str = "xla",
     pad_front: int = 0,
+    mesh=None,
 ):
     """Returns (init_fn, epoch_fn, eval_fn) for a K-model vectorized sweep.
 
@@ -67,9 +86,19 @@ def make_sweep(
     epoch_fn(states, store, order, task_weights [K]) -> (states, losses [K, S])
     eval_fn(states, store, ent_rows, ent_cols, rel_rows, rel_cols)
         -> 4 x [K, T, B] rank arrays
+
+    With ``mesh``, the model axis is sharded over the ``data`` mesh axis
+    (K must be divisible by its size): K models train simultaneously
+    ACROSS chips as well as within the batched kernels.
     """
     opt = _sweep_optimizer(tc)
     hlen = tc.train_history_len
+
+    def constrain_models(states):
+        if mesh is None:
+            return states
+        return jax.lax.with_sharding_constraint(
+            states, model_axis_shardings(states, mesh))
 
     def loss_fn(params, model_state, history, triples, mask, rng, tw):
         _, losses, new_state = recurrent.get_loss(
@@ -98,8 +127,9 @@ def make_sweep(
             history = window_snapshot(store, i - hlen + pad_front, hlen)
             triples = store.triples[i + pad_front]
             mask = store.triple_mask[i + pad_front]
-            return jax.vmap(one_step, in_axes=(0, None, None, None, 0))(
+            new_sts, losses = jax.vmap(one_step, in_axes=(0, None, None, None, 0))(
                 sts, history, triples, mask, task_weights)
+            return constrain_models(new_sts), losses
 
         return jax.lax.scan(body, states, order)
 
@@ -164,11 +194,12 @@ class SweepRunner:
     """Drives a vectorized (lr, task_weight, seed) sweep end-to-end."""
 
     def __init__(self, cfg: ModelConfig, tc: TrainConfig, data,
-                 combos: Dict[str, Sequence], impl: str = "xla"):
+                 combos: Dict[str, Sequence], impl: str = "xla", mesh=None):
         from regcn_tpu.data.snapshots import split_by_time
         from regcn_tpu.train.epoch import build_snapshot_store
 
         self.cfg, self.tc, self.data = cfg, tc, data
+        self.mesh = mesh
         ks = set(combos) - {"lr", "task_weight", "seed"}
         if ks:
             raise ValueError(f"not vectorizable (shape-changing): {sorted(ks)}")
@@ -190,8 +221,17 @@ class SweepRunner:
             edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
             triple_bucket=tc.triple_bucket, pad_front=hlen,
         )
+        if mesh is not None:
+            from regcn_tpu.parallel.mesh import DATA_AXIS
+
+            d = mesh.shape[DATA_AXIS]
+            if n % d != 0:
+                raise ValueError(
+                    f"{n} sweep models not divisible by the '{DATA_AXIS}' "
+                    f"mesh axis ({d}); pad the combo list to "
+                    f"{((n + d - 1) // d) * d}")
         self.init_fn, self.epoch_fn, self.eval_fn = make_sweep(
-            cfg, tc, n, pad_front=hlen, impl=impl)
+            cfg, tc, n, pad_front=hlen, impl=impl, mesh=mesh)
 
     def run(self, n_epochs: Optional[int] = None):
         """Train all models; returns per-model valid MRR + loss history."""
@@ -202,6 +242,9 @@ class SweepRunner:
 
         tc = self.tc
         states = self.init_fn(self.seeds, self.lrs)
+        if self.mesh is not None:
+            states = jax.device_put(
+                states, model_axis_shardings(states, self.mesh))
         tws = jnp.asarray(np.asarray(self.tws, np.float32))
         n_epochs = n_epochs or tc.n_epochs
         for epoch in range(n_epochs):

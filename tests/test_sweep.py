@@ -76,3 +76,47 @@ def test_hyperbolic_vectorized_sweep(tiny_data):
     # different lrs from the same seed must produce different params
     p = np.asarray(states.params["dynamic_emb"])
     assert not np.allclose(p[0], p[1])
+
+
+def test_sweep_model_axis_sharded_over_data_mesh():
+    """grid --vectorize over a (data=8, graph=1) mesh: the 8 models train
+    sharded one-per-device and match the unsharded vectorized sweep."""
+    import jax
+
+    from regcn_tpu.parallel.mesh import MeshAxes, make_mesh
+
+    data = generate("synthetic-small", seed=9, num_ents=60, num_rels=5,
+                    num_snaps=14, triples_per_snap=40, split=(10, 2, 2))
+    cfg = ModelConfig(num_ents=data.num_nodes, num_rels=data.num_rels,
+                      h_dim=16, n_layers=1, dropout=0.0, input_dropout=0.0,
+                      hidden_dropout=0.0, feat_dropout=0.0)
+    tc = TrainConfig(train_history_len=2, test_history_len=2, edge_bucket=32,
+                     rc_bucket=32, triple_bucket=32, n_epochs=1)
+    combos = {"lr": [1e-3, 5e-4] * 4, "seed": [1, 2, 3, 4, 5, 6, 7, 8]}
+
+    results = {}
+    for name, mesh in (("single", None),
+                       ("sharded", make_mesh(MeshAxes(data=8, graph=1)))):
+        runner = SweepRunner(cfg, tc, data, dict(combos), mesh=mesh)
+        out, states = runner.run()
+        if mesh is not None:
+            spec = states.params["dynamic_emb"].sharding.spec
+            assert spec[0] == "data"
+        results[name] = [r["valid_ent_mrr_raw"] for r in out]
+
+    np.testing.assert_allclose(results["single"], results["sharded"],
+                               rtol=2e-4)
+
+
+def test_sweep_mesh_divisibility_error():
+    from regcn_tpu.parallel.mesh import MeshAxes, make_mesh
+
+    data = generate("synthetic-small", seed=9, num_ents=60, num_rels=5,
+                    num_snaps=14, triples_per_snap=40, split=(10, 2, 2))
+    cfg = ModelConfig(num_ents=data.num_nodes, num_rels=data.num_rels,
+                      h_dim=16, n_layers=1)
+    tc = TrainConfig(train_history_len=2, edge_bucket=32, rc_bucket=32,
+                     triple_bucket=32)
+    with pytest.raises(ValueError, match="pad the combo list to 8"):
+        SweepRunner(cfg, tc, data, {"seed": [1, 2, 3]},
+                    mesh=make_mesh(MeshAxes(data=8, graph=1)))
