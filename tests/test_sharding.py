@@ -133,13 +133,21 @@ def test_hyperbolic_sharded_fused_epoch_matches_unsharded():
             losses.append(ls["entity"])
         if mesh is not None:
             assert state.params["dynamic_emb"].sharding.spec[0] == "graph"
+        # fused whole-split eval with the (sharded) state: GSPMD
+        # propagates the entity sharding into predict + ranking
+        stats = trainer.evaluate_fused(state, trainer.train_list,
+                                       trainer.valid_list, cache_key="v")
         results[name] = (np.asarray(state.params["dynamic_emb"],
-                                    dtype=np.float32), losses)
+                                    dtype=np.float32), losses,
+                         stats["ent_raw"].mrr)
 
     # sharded reductions (segment-sum shards + psum'd logsumexp) change
     # summation order; drift compounds across the 2nd epoch's steps
     np.testing.assert_allclose(results["single"][1], results["sharded"][1],
                                rtol=2e-3)
+    # MRR is rank-based: tiny param drift flips near-ties at this scale
+    np.testing.assert_allclose(results["single"][2], results["sharded"][2],
+                               rtol=2e-2)
     # Adam's 1/sqrt(v) amplifies tiny grad drift for near-zero entries;
     # compare absolutely (entries are O(1))
     np.testing.assert_allclose(results["single"][0], results["sharded"][0],
