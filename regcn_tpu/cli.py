@@ -89,6 +89,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tune", default="n_hidden,n_layers,dropout,n_bases")
     p.add_argument("--vectorize", action="store_true", default=False,
                    help="grid mode: vmap lr/task_weight/seed combos into one program")
+    p.add_argument("--resume", action="store_true", default=False,
+                   help="restore the checkpoint (params+optimizer+epoch) and continue")
     # entity-classification mode (legacy RGCN task, ref:rgcn/knowledge_graph.py:82-86)
     p.add_argument("--bfs-level", type=int, default=2)
     p.add_argument("--relabel", action="store_true", default=False)
@@ -310,7 +312,7 @@ def run_single(args) -> dict:
         state, meta = restore_checkpoint(ckpt, tpl)
         logging.info("loaded checkpoint %s (meta %s)", ckpt, meta)
     else:
-        state, info = trainer.fit(checkpoint_path=ckpt)
+        state, info = trainer.fit(checkpoint_path=ckpt, resume=args.resume)
         logging.info("best valid MRR (raw): %.4f", info["best_valid_mrr_raw"])
 
     stats = trainer.test(state, multi_step=args.multi_step, topk=args.topk)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import random
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -372,20 +373,38 @@ class Trainer:
         state: Optional[TrainState] = None,
         checkpoint_path: Optional[str] = None,
         log_every: int = 1,
+        resume: bool = False,
     ) -> Tuple[TrainState, Dict]:
         """Full training run with best-on-valid checkpointing
-        (ref:src/main.py:211-279)."""
+        (ref:src/main.py:211-279).
+
+        ``resume=True``: if ``checkpoint_path`` holds a checkpoint, restore
+        the full TrainState (params + optimizer moments + BN stats + PRNG +
+        step) and continue from the saved epoch. The reference can only
+        restart from scratch (it saves bare ``state_dict`` and never
+        reloads mid-training, ref:src/main.py:266-279).
+        """
         cfg, tc = self.cfg, self.cfg.train
+        start_epoch, best_mrr = 0, 0.0
         if state is None:
             state = create_train_state(
                 jax.random.PRNGKey(tc.seed), cfg.model, tc
             )
+        if resume and checkpoint_path and os.path.exists(
+                os.path.join(checkpoint_path, "meta.json")):
+            from regcn_tpu.train.state import restore_checkpoint
+
+            state, meta = restore_checkpoint(checkpoint_path, state)
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            best_mrr = float(meta.get("mrr", 0.0))
+            log.info("resumed from %s at epoch %d (best MRR %.4f)",
+                     checkpoint_path, start_epoch, best_mrr)
         ent_filters_v = build_answer_filters_by_time(self.data.valid, self.num_rels, False)
         rel_filters_v = build_answer_filters_by_time(self.data.valid, self.num_rels, True)
 
-        best_mrr, best_state = 0.0, state
+        best_state = state
         history_rows = []
-        for epoch in range(tc.n_epochs):
+        for epoch in range(start_epoch, tc.n_epochs):
             t0 = time.time()
             state, losses = self.run_epoch_fused(state, epoch)
             dt = time.time() - t0

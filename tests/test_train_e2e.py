@@ -199,3 +199,40 @@ def test_best_state_survives_donation():
                for x in jax.tree.leaves(bare))
     assert not any(isinstance(x, jax.Array) and x.is_deleted()
                    for x in jax.tree.leaves(stash))
+
+
+def test_fit_resume_continues_from_checkpoint(tmp_path):
+    """fit(resume=True) restores params+optimizer+epoch and continues —
+    the full-state resume the reference lacks (it saves bare state_dict)."""
+    import jax
+
+    from regcn_tpu.config import DataConfig, ExperimentConfig, ModelConfig, TrainConfig
+    from regcn_tpu.data.synthetic import generate
+    from regcn_tpu.train.loop import Trainer
+
+    data = generate("synthetic-small", seed=9, num_ents=60, num_rels=5,
+                    num_snaps=16, triples_per_snap=40, split=(12, 2, 2))
+
+    def make(n_epochs):
+        cfg = ExperimentConfig(
+            model=ModelConfig(num_ents=data.num_nodes, num_rels=data.num_rels,
+                              h_dim=16, n_layers=1),
+            train=TrainConfig(n_epochs=n_epochs, train_history_len=2,
+                              test_history_len=2, edge_bucket=32,
+                              rc_bucket=32, triple_bucket=32),
+            data=DataConfig(),
+        )
+        return Trainer(cfg, data)
+
+    ckpt = str(tmp_path / "ckpt")
+    t1 = make(2)
+    best1, info1 = t1.fit(checkpoint_path=ckpt)
+
+    # resume in a fresh trainer with a higher epoch budget
+    t2 = make(4)
+    best2, info2 = t2.fit(checkpoint_path=ckpt, resume=True)
+    epochs_run = [r["epoch"] for r in info2["history"]]
+    assert epochs_run and min(epochs_run) >= 2, epochs_run  # continued, not restarted
+    assert info2["best_valid_mrr_raw"] >= info1["best_valid_mrr_raw"] - 1e-9
+    stats = t2.test(best2)
+    assert stats["ent_raw"].mrr > 0.0
