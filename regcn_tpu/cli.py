@@ -123,7 +123,8 @@ def build_parser() -> argparse.ArgumentParser:
     hp.add_argument("--hyp-score-scale-init", type=float, default=1.0)
     hp.add_argument("--compute-dtype", default="float32",
                     choices=["float32", "bfloat16"],
-                    help="bf16 activations with fp32 params/islands (hyperbolic)")
+                    help="bf16 activations with fp32 params/islands "
+                         "(train/hyperbolic/hisres modes)")
     hp.add_argument("--hyp-score-margin-init", type=float, default=1.0)
     hp.add_argument("--use-entity-euclidean-bias", action="store_true", default=False)
     hp.add_argument("--use-relation-specific-curvature", action="store_true", default=False)
@@ -191,7 +192,8 @@ def run_hyperbolic(args) -> dict:
         curvature_warmup_epochs=args.curvature_warmup_epochs,
     )
     ckpt = args.checkpoint or os.path.join(args.models_dir, "hyp-" + model_name(args))
-    best, info = trainer.fit(patience=args.patience, checkpoint_path=ckpt)
+    best, info = trainer.fit(patience=args.patience, checkpoint_path=ckpt,
+                             resume=args.resume)
     logging.info("best valid MRR (raw): %.4f", info["best_valid_mrr_raw"])
     stats = trainer.test(best)
     result = {
@@ -229,7 +231,7 @@ def run_hisres(args) -> dict:
     )
     trainer = HisResTrainer(cfg, tc, data)
     ckpt = args.checkpoint or os.path.join(args.models_dir, "hisres-" + model_name(args))
-    best, info = trainer.fit(checkpoint_path=ckpt)
+    best, info = trainer.fit(checkpoint_path=ckpt, resume=args.resume)
     logging.info("best valid MRR (raw): %.4f", info["best_valid_mrr_raw"])
     stats = trainer.test(best, multi_step=args.multi_step, topk=args.topk,
                          relation_evaluation=args.relation_evaluation)

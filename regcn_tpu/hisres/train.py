@@ -591,14 +591,28 @@ class HisResTrainer:
             window.append(snap)
         return {k: metrics.stat_ranks(v) for k, v in ranks.items()}
 
-    def fit(self, state=None, checkpoint_path=None):
+    def fit(self, state=None, checkpoint_path=None, resume: bool = False):
+        """``resume=True``: restore the full state from ``checkpoint_path``
+        and continue from the saved epoch."""
+        import os as _os
+
         tc = self.tc
         if state is None:
             state = self.init_state(jax.random.PRNGKey(tc.seed))
+        start_epoch, best_mrr = 0, 0.0
+        if resume and checkpoint_path and _os.path.exists(
+                _os.path.join(checkpoint_path, "meta.json")):
+            from regcn_tpu.train.state import restore_checkpoint
+
+            state, meta = restore_checkpoint(checkpoint_path, state)
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            best_mrr = float(meta.get("mrr", 0.0))
+            log.info("resumed from %s at epoch %d (best MRR %.4f)",
+                     checkpoint_path, start_epoch, best_mrr)
         ent_f = build_answer_filters_by_time(self.data.valid, self.num_rels, False)
         rel_f = build_answer_filters_by_time(self.data.valid, self.num_rels, True)
-        best_mrr, best_state = 0.0, state
-        for epoch in range(tc.n_epochs):
+        best_state = state
+        for epoch in range(start_epoch, tc.n_epochs):
             t0 = time.time()
             state, losses = self.run_epoch(state, epoch)
             stats = self.evaluate(state, self.train_list, self.valid_list,

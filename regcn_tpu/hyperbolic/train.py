@@ -595,17 +595,32 @@ class HyperbolicTrainer:
 
     # ------------------------------------------------------------------- fit
     def fit(self, state=None, n_epochs=None, patience: int = 20,
-            checkpoint_path=None):
-        """Training with early stopping (ref :509, :679-681)."""
+            checkpoint_path=None, resume: bool = False):
+        """Training with early stopping (ref :509, :679-681).
+
+        ``resume=True``: restore the full state (params + optimizer +
+        EST buffers + epoch) from ``checkpoint_path`` and continue."""
+        import os as _os
+
         tc = self.tc
         if state is None:
             state = self.init_state(jax.random.PRNGKey(tc.seed))
         n_epochs = n_epochs or tc.n_epochs
+        start_epoch, best_mrr = 0, 0.0
+        if resume and checkpoint_path and _os.path.exists(
+                _os.path.join(checkpoint_path, "meta.json")):
+            from regcn_tpu.train.state import restore_checkpoint
+
+            state, meta = restore_checkpoint(checkpoint_path, state)
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            best_mrr = float(meta.get("mrr", 0.0))
+            log.info("resumed from %s at epoch %d (best MRR %.4f)",
+                     checkpoint_path, start_epoch, best_mrr)
         ent_f = build_answer_filters_by_time(self.data.valid, self.num_rels, False)
         rel_f = build_answer_filters_by_time(self.data.valid, self.num_rels, True)
-        best_mrr, best_state, bad_epochs = 0.0, state, 0
+        best_state, bad_epochs = state, 0
         history_rows = []
-        for epoch in range(n_epochs):
+        for epoch in range(start_epoch, n_epochs):
             t0 = time.time()
             state, losses = self.run_epoch(state, epoch)
             dt = time.time() - t0
