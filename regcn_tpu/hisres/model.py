@@ -182,8 +182,10 @@ def _stream(params, cfg, history, h_init, prefix: str, time_encode: bool,
             h0_new = l2_normalize(h0_new)
         return (h_new, h0_new, jnp.ones(())), h_new
 
+    # short history axis fully unrolled — cross-step fusion (op-count-bound)
     (h_final, h0_final, _), all_h = jax.lax.scan(
-        step, (h_init, emb_rel, jnp.zeros(())), (jnp.arange(T), history)
+        step, (h_init, emb_rel, jnp.zeros(())), (jnp.arange(T), history),
+        unroll=True
     )
     return h_final, h0_final, all_h
 

@@ -144,9 +144,11 @@ def evolve(
         return (h_new, h0_new), (h_new if return_all else 0.0)
 
     T = history.src.shape[0]
-    # scan over the time axis of every array field of the Snapshot pytree
+    # scan over the time axis of every array field of the Snapshot pytree;
+    # the short history axis (T = history_len) is fully unrolled so XLA
+    # fuses across steps (the training step is op-count-bound)
     (h_final, h0_final), ys = jax.lax.scan(
-        step, (h_init, emb_rel), (jnp.arange(T), history)
+        step, (h_init, emb_rel), (jnp.arange(T), history), unroll=True
     )
     all_h = ys if return_all else None
     return h_final, h0_final, static_emb, all_h

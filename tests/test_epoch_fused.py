@@ -78,8 +78,9 @@ def test_fused_epoch_matches_per_step_path():
     pb = jax.tree.leaves(state_b.params)
     for a, b in zip(pa, pb):
         # tolerances allow accumulation-order noise from the different
-        # padded shapes (per-window vs global bucket) across 14 adam steps
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=3e-4)
+        # padded shapes (per-window vs global bucket) and fusion orders
+        # (per-step jit vs epoch scan, unrolled bodies) across 14 adam steps
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=6e-4)
     # mean entity loss agrees
     np.testing.assert_allclose(np.mean(losses_a), avg["entity"], rtol=1e-4)
 
