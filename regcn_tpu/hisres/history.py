@@ -287,12 +287,14 @@ def build_time_graph(num_timestamps: int, r_types, periods,
     """Periodic timestamp graph (parity: ref:hisres_rgcn/utils.py:408-446).
 
     Nodes are timestamps; for each (relation type r, period p) pair an
-    edge t -> t+p is added for every t with t+p < num_timestamps.
-    Inverse edges carry r + num_rels and message normalisation is
-    1/in-degree with isolated nodes clamped to 1 — exactly the semantics
-    of ``build_snapshot``, so this is a thin triple generator over it.
-    (The reference keeps this builder unreferenced by its entry points;
-    provided here for library parity.)
+    edge t -> t+p is added for every PERIOD-ALIGNED t (t = 0, p, 2p, ...
+    with t+p < num_timestamps — the reference iterates
+    ``range(0, timestamps, p)``, ref :425, so non-multiples of p get no
+    period-p edge; matched exactly). Inverse edges carry r + num_rels and
+    message normalisation is 1/in-degree with isolated nodes clamped to
+    1 — exactly the semantics of ``build_snapshot``, so this is a thin
+    triple generator over it. (The reference keeps this builder
+    unreferenced by its entry points; provided for library parity.)
     """
     rows = []
     for r, p in zip(r_types, periods):

@@ -611,7 +611,11 @@ class HisResTrainer:
                      checkpoint_path, start_epoch, best_mrr)
         ent_f = build_answer_filters_by_time(self.data.valid, self.num_rels, False)
         rel_f = build_answer_filters_by_time(self.data.valid, self.num_rels, True)
-        best_state = state
+        # copy: the first epoch donates `state`'s buffers, and with resume
+        # restoring best_mrr no epoch may improve on it
+        from regcn_tpu.train.state import copy_state as _copy
+
+        best_state = _copy(state)
         for epoch in range(start_epoch, tc.n_epochs):
             t0 = time.time()
             state, losses = self.run_epoch(state, epoch)

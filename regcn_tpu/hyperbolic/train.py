@@ -180,18 +180,13 @@ class HyperbolicTrainer:
                 params["dynamic_emb"], _ent_rows)
             return params
 
+        from regcn_tpu.utils.dtypes import tree_to_compute, tree_to_fp32
+
         def to_compute(tree):
-            """Cast fp32 array leaves (ndim >= 1) to the compute dtype;
-            scalars (learnable curvature, score margins, gate thresholds)
-            stay fp32."""
-            if cdt == jnp.float32:
-                return tree
-            return jax.tree.map(
-                lambda x: x.astype(cdt)
-                if hasattr(x, "dtype") and x.dtype == jnp.float32 and x.ndim >= 1
-                else x,
-                tree,
-            )
+            # shared mixed-precision policy (utils/dtypes): fp32 array
+            # leaves -> compute dtype; scalars (learnable curvature, score
+            # margins, gate thresholds) stay fp32
+            return tree_to_compute(tree, cdt)
 
         def loss_fn(params, model_state, history, triples, mask, rng,
                     cmax, est_inputs, tans):
@@ -219,8 +214,8 @@ class HyperbolicTrainer:
             )
             if cdt != jnp.float32:
                 # grads come out in compute dtype; the optimizer is fp32
-                grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
-                losses = jax.tree.map(lambda l: l.astype(jnp.float32), losses)
+                grads = tree_to_fp32(grads)
+                losses = tree_to_fp32(losses)
             updates, new_opt = opt.update(grads, state.opt_state, state.params)
             new_params = constrain_entities(optax.apply_updates(state.params, updates))
             new_est = state.est_state
@@ -618,7 +613,11 @@ class HyperbolicTrainer:
                      checkpoint_path, start_epoch, best_mrr)
         ent_f = build_answer_filters_by_time(self.data.valid, self.num_rels, False)
         rel_f = build_answer_filters_by_time(self.data.valid, self.num_rels, True)
-        best_state, bad_epochs = state, 0
+        # copy: the first epoch donates `state`'s buffers, and with resume
+        # restoring best_mrr no epoch may improve on it
+        from regcn_tpu.train.state import copy_state as _copy
+
+        best_state, bad_epochs = _copy(state), 0
         history_rows = []
         for epoch in range(start_epoch, n_epochs):
             t0 = time.time()

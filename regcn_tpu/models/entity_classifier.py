@@ -16,6 +16,7 @@ is full-batch in the reference lineage too).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Dict, Tuple
 
@@ -97,7 +98,7 @@ def fit(rng: jax.Array, data: EntityClassData,
 
     Returns (params, per-epoch train loss [n_epochs]).
     """
-    graph = to_static_graph(data, cfg.edge_bucket)
+    graph = _graph_for(data, cfg.edge_bucket)
     labels = jnp.asarray(data.labels)
     train_idx = jnp.asarray(data.train_idx)
     params = init_entity_classifier(rng, data, cfg)
@@ -122,11 +123,27 @@ def fit(rng: jax.Array, data: EntityClassData,
     return params, losses
 
 
+# evaluate() is called repeatedly (train acc, test acc, sweeps): memoise
+# the padded graph on the dataset object and route the forward through
+# one module-level jit so XLA's compile cache is reused across calls
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _jit_logits(params, graph, cfg):
+    return entity_logits(params, graph, cfg)
+
+
+def _graph_for(data: EntityClassData, edge_bucket: int) -> StaticGraph:
+    cached = getattr(data, "_graph_cache", None)
+    if cached is None or cached[0] != edge_bucket:
+        cached = (edge_bucket, to_static_graph(data, edge_bucket))
+        data._graph_cache = cached  # plain dataclass: attach memo
+    return cached[1]
+
+
 def evaluate(params: Params, data: EntityClassData,
              cfg: EntityClassifierConfig, idx=None) -> float:
     """Classification accuracy on ``idx`` (default: test split)."""
-    graph = to_static_graph(data, cfg.edge_bucket)
+    graph = _graph_for(data, cfg.edge_bucket)
     idx = jnp.asarray(data.test_idx if idx is None else idx)
-    logits = jax.jit(lambda p: entity_logits(p, graph, cfg))(params)
+    logits = _jit_logits(params, graph, cfg)
     pred = jnp.argmax(logits[idx], axis=-1)
     return float(jnp.mean(pred == jnp.asarray(data.labels)[idx]))

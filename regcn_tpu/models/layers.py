@@ -217,11 +217,16 @@ def rgcn_basis_layer(
     weight = params["weight"]  # [B, in, out]
     num_bases = weight.shape[0]
     if input_layer:
+        # featureless mode: the message is row (rel_e, src_e) of the
+        # composed weight. Gather per-edge basis rows FIRST, then combine
+        # — never materialise the [R, N, out] composed tensor (for
+        # am-scale graphs that is tens of GB, defeating the basis trick)
+        per_edge = weight[:, snap.src, :]  # [B, E, out]
         if "w_comp" in params:
-            full = jnp.einsum("rb,bio->rio", params["w_comp"], weight)
+            comp = params["w_comp"][snap.rel]  # [E, B]
         else:
-            full = weight
-        msg = full[snap.rel, snap.src]  # [E, out]
+            comp = jax.nn.one_hot(snap.rel, num_bases, dtype=weight.dtype)
+        msg = jnp.einsum("eb,beo->eo", comp, per_edge)
     else:
         proj = jnp.einsum("ni,bio->bno", h, weight)  # B GEMMs on the MXU
         per_edge = proj[:, snap.src, :]  # [B, E, out]

@@ -402,7 +402,11 @@ class Trainer:
         ent_filters_v = build_answer_filters_by_time(self.data.valid, self.num_rels, False)
         rel_filters_v = build_answer_filters_by_time(self.data.valid, self.num_rels, True)
 
-        best_state = state
+        # copy: the first epoch donates `state`'s buffers, and with resume
+        # restoring best_mrr no epoch may improve on it
+        from regcn_tpu.train.state import copy_state as _copy
+
+        best_state = _copy(state)
         history_rows = []
         for epoch in range(start_epoch, tc.n_epochs):
             t0 = time.time()

@@ -165,7 +165,9 @@ def test_build_time_graph():
     from regcn_tpu.hisres.history import build_time_graph
 
     g = build_time_graph(10, r_types=[0, 1], periods=[1, 3], num_rels=2)
-    # forward edges: 9 of period 1 (rel 0) + 3 of period 3 (rel 1)
+    # forward edges: 9 of period 1 (rel 0) + 3 of period 3 (rel 1);
+    # period-p edges start only at multiples of p (the reference iterates
+    # range(0, timestamps, p), ref:hisres_rgcn/utils.py:425)
     assert g.num_triples == 12
     live = g.edge_mask > 0
     edges = set(zip(g.src[live].tolist(), g.rel[live].tolist(),
