@@ -34,10 +34,33 @@ HP_RANGE = {
     "seed": [2023, 2024, 2025],
 }
 
+# per-dataset range overrides. The reference's hisres driver dispatches
+# per-dataset hp_range_* tables that are missing from its repo
+# (ref:hisres_main.py:551-562, stale); these provide working equivalents
+# keyed by dataset-shape family.
+HP_RANGE_BY_DATASET = {
+    "wiki": {"train_history_len": [1, 2, 3], "dropout": [0.2]},
+    "yago": {"train_history_len": [1, 2, 3], "dropout": [0.2]},
+    "gdelt": {"train_history_len": [3, 7], "lr": [1e-3]},
+    "icews18": {"train_history_len": [3, 7, 10]},
+}
+# hisres-only knob (ref:hisres_main.py history_rate)
+HP_RANGE_HISRES = {"history_rate": [0.1, 0.3, 0.5]}
+
 # numeric knobs that do not change tensor shapes: with --vectorize these
 # sweep as ONE vmapped program (regcn_tpu/train/sweep.py) instead of
 # sequential retraining
 VECTORIZABLE = ("lr", "task_weight", "seed")
+
+
+def grid_table(dataset: str, family: str) -> dict:
+    table = dict(HP_RANGE)
+    if family == "hisres":
+        table.update(HP_RANGE_HISRES)
+    for key, overrides in HP_RANGE_BY_DATASET.items():
+        if key in dataset.lower():
+            table.update(overrides)
+    return table
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -89,6 +112,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tune", default="n_hidden,n_layers,dropout,n_bases")
     p.add_argument("--vectorize", action="store_true", default=False,
                    help="grid mode: vmap lr/task_weight/seed combos into one program")
+    p.add_argument("--grid-family", default="regcn",
+                   choices=["regcn", "hyperbolic", "hisres"],
+                   help="grid mode: which model family to sweep")
     p.add_argument("--resume", action="store_true", default=False,
                    help="restore the checkpoint (params+optimizer+epoch) and continue")
     # entity-classification mode (legacy RGCN task, ref:rgcn/knowledge_graph.py:82-86)
@@ -327,14 +353,18 @@ def run_single(args) -> dict:
 
 
 def run_grid(args):
-    """Cartesian grid search (ref:src/main.py:403-443).
+    """Cartesian grid search (ref:src/main.py:403-443; the hisres
+    per-dataset tables the reference references but never committed are
+    provided via HP_RANGE_BY_DATASET, ref:hisres_main.py:551-562).
 
-    With --vectorize, the lr/task_weight/seed sub-grid trains as ONE
-    vmapped program per outer (shape-changing) combination."""
+    ``--grid-family {regcn,hyperbolic,hisres}`` selects the trained
+    family. With --vectorize, the lr/task_weight/seed sub-grid trains as
+    ONE vmapped program per outer (shape-changing) combination."""
+    table = grid_table(args.dataset, args.grid_family)
     keys = [k.strip() for k in args.tune.split(",") if k.strip()]
     for k in keys:
-        if k not in HP_RANGE:
-            raise SystemExit(f"unknown hyperparameter {k!r}; known: {list(HP_RANGE)}")
+        if k not in table:
+            raise SystemExit(f"unknown hyperparameter {k!r}; known: {list(table)}")
     out_log = f"{args.dataset}.{args.encoder}-{args.decoder}.gs"
     results = []
 
@@ -344,8 +374,8 @@ def run_grid(args):
 
         vec_keys = [k for k in keys if k in VECTORIZABLE]
         seq_keys = [k for k in keys if k not in VECTORIZABLE]
-        inner = list(itertools.product(*[HP_RANGE[k] for k in vec_keys]))
-        outer = list(itertools.product(*[HP_RANGE[k] for k in seq_keys])) or [()]
+        inner = list(itertools.product(*[table[k] for k in vec_keys]))
+        outer = list(itertools.product(*[table[k] for k in seq_keys])) or [()]
         logging.info("vectorized grid: %d outer x %d vmapped combos",
                      len(outer), len(inner))
         data = load_data(args.dataset, args.data_dir,
@@ -371,13 +401,15 @@ def run_grid(args):
         logging.info("best: %s", best)
         return results
 
-    combos = list(itertools.product(*[HP_RANGE[k] for k in keys]))
+    combos = list(itertools.product(*[table[k] for k in keys]))
     logging.info("grid search over %s: %d combos -> %s", keys, len(combos), out_log)
     with open(out_log, "w") as f:
+        family_runner = {"regcn": run_single, "hyperbolic": run_hyperbolic,
+                         "hisres": run_hisres}[args.grid_family]
         for combo in combos:
             for k, v in zip(keys, combo):
                 setattr(args, {"n_hidden": "n_hidden"}.get(k, k), v)
-            r = run_single(args)
+            r = family_runner(args)
             row = {"params": dict(zip(keys, combo)), "test_ent_mrr_raw": r["ent_raw"]["mrr"]}
             results.append(row)
             f.write(json.dumps(row) + "\n")

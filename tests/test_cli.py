@@ -37,3 +37,33 @@ def test_cli_hyperbolic_smoke(tmp_path, monkeypatch):
         "--models-dir", str(tmp_path / "models"),
     ])
     assert 0 < result["ent_raw"]["mrr"] <= 1
+
+
+def test_grid_family_hisres(tmp_path, monkeypatch):
+    """grid --grid-family hisres sweeps the hisres runner with the
+    hisres-specific history_rate knob (the reference's per-dataset
+    hp_range_* tables are missing from its repo, ref:hisres_main.py:551-562)."""
+    import regcn_tpu.cli as cli
+
+    monkeypatch.chdir(tmp_path)
+    calls = []
+
+    def fake_hisres(args):
+        calls.append((args.history_rate, args.n_hidden))
+        return {"ent_raw": {"mrr": 0.1 * len(calls)}}
+
+    monkeypatch.setattr(cli, "run_hisres", fake_hisres)
+    monkeypatch.setitem(cli.HP_RANGE_HISRES, "history_rate", [0.1, 0.5])
+    results = cli.main(["grid", "-d", "synthetic-small",
+                        "--grid-family", "hisres", "--tune", "history_rate"])
+    assert [c[0] for c in calls] == [0.1, 0.5]
+    assert len(results) == 2
+
+
+def test_grid_table_dataset_overrides():
+    from regcn_tpu.cli import grid_table
+
+    t = grid_table("synthetic-wiki", "regcn")
+    assert t["train_history_len"] == [1, 2, 3]
+    t2 = grid_table("synthetic-small", "hisres")
+    assert "history_rate" in t2
