@@ -37,6 +37,8 @@ _PRESETS = {
                            triples_per_snap=1300, split=(151, 19, 19)),
     "synthetic-gdelt": dict(num_ents=7691, num_rels=240, num_snaps=2751,
                             triples_per_snap=700, split=(2303, 288, 160)),
+    "synthetic-icews05-15": dict(num_ents=10488, num_rels=251, num_snaps=4017,
+                                 triples_per_snap=115, split=(3243, 404, 370)),
 }
 
 

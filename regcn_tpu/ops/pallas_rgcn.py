@@ -123,4 +123,6 @@ def rgcn_aggregate_pallas(h, rel_emb, weight, src, dst, rel, edge_mask, in_deg_n
     msg = jnp.dot(msg, weight, preferred_element_type=jnp.float32)
     msg = msg * mask_s[:, None]
     agg = scatter_add_sorted(msg, dst_s, n)
-    return agg * in_deg_norm[:, None]
+    # fp32 scatter accumulation; return in the compute dtype so bf16
+    # mode keeps a bf16 scan carry (matches the XLA path)
+    return (agg * in_deg_norm[:, None].astype(agg.dtype)).astype(h.dtype)

@@ -102,3 +102,32 @@ def test_l2_normalize():
     y = l2_normalize(x)
     np.testing.assert_allclose(y[0], [0.6, 0.8], rtol=1e-6)
     np.testing.assert_allclose(y[1], [0.0, 0.0])  # zero rows stay finite
+
+
+def test_pallas_aggregate_preserves_bf16_carry():
+    """Regression: the pallas impl returned fp32 under bf16 compute,
+    breaking the scan-carry dtype (fp32 accumulate, compute-dtype out)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from regcn_tpu.ops.rgcn_scatter import rgcn_aggregate
+
+    rng = np.random.default_rng(0)
+    n, d, e = 32, 16, 64
+    h = jnp.asarray(rng.normal(size=(n, d)), jnp.bfloat16)
+    rel_emb = jnp.asarray(rng.normal(size=(8, d)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(d, d)), jnp.bfloat16)
+    src = jnp.asarray(rng.integers(0, n, e), jnp.int32)
+    dst = jnp.asarray(rng.integers(0, n, e), jnp.int32)
+    rel = jnp.asarray(rng.integers(0, 8, e), jnp.int32)
+    mask = jnp.ones((e,), jnp.float32)
+    norm = jnp.ones((n,), jnp.float32)
+    from jax.experimental import pallas as _pl  # noqa: F401
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        for impl in ("xla", "pallas"):
+            out = rgcn_aggregate(h, rel_emb, w, src, dst, rel, mask, norm,
+                                 impl=impl)
+            assert out.dtype == jnp.bfloat16, impl
