@@ -43,6 +43,7 @@ HP_RANGE_BY_DATASET = {
     "yago": {"train_history_len": [1, 2, 3], "dropout": [0.2]},
     "gdelt": {"train_history_len": [3, 7], "lr": [1e-3]},
     "icews18": {"train_history_len": [3, 7, 10]},
+    "icews05-15": {"train_history_len": [3, 7], "lr": [1e-3]},
 }
 # hisres-only knob (ref:hisres_main.py history_rate)
 HP_RANGE_HISRES = {"history_rate": [0.1, 0.3, 0.5]}

@@ -44,7 +44,10 @@ _PRESETS = {
 
 def generate(name: str = "synthetic-small", seed: int = 123,
              with_static: bool = False, **overrides) -> TKGData:
-    cfg = dict(_PRESETS.get(name, _PRESETS["synthetic-small"]))
+    if name not in _PRESETS:
+        raise KeyError(
+            f"unknown synthetic dataset {name!r}; known: {sorted(_PRESETS)}")
+    cfg = dict(_PRESETS[name])
     cfg.update({k: v for k, v in overrides.items() if v is not None})
     num_ents = cfg["num_ents"]
     num_rels = cfg["num_rels"]

@@ -135,5 +135,12 @@ def test_synthetic_presets_exist():
     from regcn_tpu.data.synthetic import _PRESETS
 
     for name in ("synthetic-icews14s", "synthetic-icews18", "synthetic-wiki",
-                 "synthetic-yago", "synthetic-gdelt"):
+                 "synthetic-yago", "synthetic-gdelt", "synthetic-icews05-15"):
         assert name in _PRESETS
+    # unknown names must fail loudly, not fall back to synthetic-small
+    import pytest
+
+    from regcn_tpu.data.synthetic import generate
+
+    with pytest.raises(KeyError, match="unknown synthetic dataset"):
+        generate("synthetic-icews0515")

@@ -107,12 +107,6 @@ def test_l2_normalize():
 def test_pallas_aggregate_preserves_bf16_carry():
     """Regression: the pallas impl returned fp32 under bf16 compute,
     breaking the scan-carry dtype (fp32 accumulate, compute-dtype out)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from regcn_tpu.ops.rgcn_scatter import rgcn_aggregate
-
     rng = np.random.default_rng(0)
     n, d, e = 32, 16, 64
     h = jnp.asarray(rng.normal(size=(n, d)), jnp.bfloat16)
@@ -123,7 +117,6 @@ def test_pallas_aggregate_preserves_bf16_carry():
     rel = jnp.asarray(rng.integers(0, 8, e), jnp.int32)
     mask = jnp.ones((e,), jnp.float32)
     norm = jnp.ones((n,), jnp.float32)
-    from jax.experimental import pallas as _pl  # noqa: F401
     from jax.experimental.pallas import tpu as pltpu
 
     with pltpu.force_tpu_interpret_mode():
