@@ -170,13 +170,10 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def run_hyperbolic(args) -> dict:
+def make_hyperbolic_configs(args, data):
     from regcn_tpu.config import TrainConfig
-    from regcn_tpu.data import load_data
     from regcn_tpu.hyperbolic.model import HyperbolicConfig
-    from regcn_tpu.hyperbolic.train import HyperbolicTrainer
 
-    data = load_data(args.dataset, args.data_dir, load_static=args.add_static_graph)
     encoder = args.encoder if args.encoder != "uvrgcn" else "hyperbolic_uvrgcn"
     decoder = args.decoder if args.decoder != "convtranse" else "hyperbolic_convtranse"
     cfg = HyperbolicConfig(
@@ -214,6 +211,15 @@ def run_hyperbolic(args) -> dict:
         train_history_len=args.train_history_len,
         test_history_len=args.test_history_len, seed=args.seed,
     )
+    return cfg, tc
+
+
+def run_hyperbolic(args) -> dict:
+    from regcn_tpu.data import load_data
+    from regcn_tpu.hyperbolic.train import HyperbolicTrainer
+
+    data = load_data(args.dataset, args.data_dir, load_static=args.add_static_graph)
+    cfg, tc = make_hyperbolic_configs(args, data)
     trainer = HyperbolicTrainer(
         cfg, tc, data, triple_batch_size=args.triple_batch_size,
         curvature_warmup_epochs=args.curvature_warmup_epochs,
@@ -371,7 +377,12 @@ def run_grid(args):
 
     if args.vectorize and any(k in VECTORIZABLE for k in keys):
         from regcn_tpu.data import load_data
-        from regcn_tpu.train.sweep import SweepRunner
+        from regcn_tpu.train.sweep import HyperbolicSweepRunner, SweepRunner
+
+        if args.grid_family == "hisres":
+            raise SystemExit(
+                "--vectorize supports the regcn and hyperbolic families; "
+                "run the hisres grid without --vectorize")
 
         vec_keys = [k for k in keys if k in VECTORIZABLE]
         seq_keys = [k for k in keys if k not in VECTORIZABLE]
@@ -385,11 +396,15 @@ def run_grid(args):
             for combo in outer:
                 for k, v in zip(seq_keys, combo):
                     setattr(args, k, v)
-                cfg = make_experiment(args, data)
                 combos = {k: [row[i] for row in inner]
                           for i, k in enumerate(vec_keys)}
-                runner = SweepRunner(cfg.model, cfg.train, data, combos,
-                                     impl=args.impl)
+                if args.grid_family == "hyperbolic":
+                    hcfg, htc = make_hyperbolic_configs(args, data)
+                    runner = HyperbolicSweepRunner(hcfg, htc, data, combos)
+                else:
+                    cfg = make_experiment(args, data)
+                    runner = SweepRunner(cfg.model, cfg.train, data, combos,
+                                         impl=args.impl)
                 rows, _ = runner.run()
                 for r in rows:
                     row = {"params": {**dict(zip(seq_keys, combo)),

@@ -67,3 +67,29 @@ def test_grid_table_dataset_overrides():
     assert t["train_history_len"] == [1, 2, 3]
     t2 = grid_table("synthetic-small", "hisres")
     assert "history_rate" in t2
+
+
+def test_grid_vectorized_hyperbolic(tmp_path, monkeypatch):
+    """grid --grid-family hyperbolic --vectorize routes through the
+    HyperbolicSweepRunner (K models in one vmapped program)."""
+    import regcn_tpu.cli as cli
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setitem(cli.HP_RANGE, "lr", [1e-3, 5e-4])
+    results = cli.main([
+        "grid", "-d", "synthetic-small", "--grid-family", "hyperbolic",
+        "--vectorize", "--tune", "lr", "--n-epochs", "1", "--n-hidden", "16",
+        "--n-layers", "1", "--train-history-len", "2",
+        "--test-history-len", "2"])
+    assert len(results) == 2
+    assert all(0 <= r["valid_ent_mrr_raw"] <= 1 for r in results)
+
+
+def test_grid_vectorized_hisres_rejected():
+    import pytest
+
+    import regcn_tpu.cli as cli
+
+    with pytest.raises(SystemExit, match="vectorize"):
+        cli.main(["grid", "-d", "synthetic-small", "--grid-family", "hisres",
+                  "--vectorize", "--tune", "lr"])
