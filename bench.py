@@ -112,7 +112,8 @@ def main():
         "value": round(snaps_per_s, 2),
         "unit": "snapshots/s (full train step fwd+bwd+opt, reference "
                 "hyperbolic benchmark config, ICEWS14s shape, bf16 compute "
-                "with fp32 params/islands — MRR-parity-validated)",
+                "with fp32 params/islands; bf16 MRR == fp32 MRR on the "
+                "synthetic shape-twin)",
         "vs_baseline": round(snaps_per_s / BASELINE_SNAPS_PER_S, 2),
         "extra": {
             "s_per_snapshot": round(1.0 / snaps_per_s, 5),

@@ -156,6 +156,11 @@ def build_parser() -> argparse.ArgumentParser:
     hp.add_argument("--use-entity-euclidean-bias", action="store_true", default=False)
     hp.add_argument("--use-relation-specific-curvature", action="store_true", default=False)
     hp.add_argument("--triple-batch-size", type=int, default=None)
+    hp.add_argument("--triple-batch-mode", default="accumulate",
+                    choices=["accumulate", "per_chunk"],
+                    help="accumulate: sum chunk grads, one optimizer step "
+                         "per snapshot (reference parity); per_chunk: step "
+                         "per chunk")
     hp.add_argument("--patience", type=int, default=20)
     # EST
     hp.add_argument("--use-est", action="store_true", default=False)
@@ -222,6 +227,7 @@ def run_hyperbolic(args) -> dict:
     cfg, tc = make_hyperbolic_configs(args, data)
     trainer = HyperbolicTrainer(
         cfg, tc, data, triple_batch_size=args.triple_batch_size,
+        triple_batch_mode=args.triple_batch_mode,
         curvature_warmup_epochs=args.curvature_warmup_epochs,
     )
     ckpt = args.checkpoint or os.path.join(args.models_dir, "hyp-" + model_name(args))
@@ -424,7 +430,14 @@ def run_grid(args):
                          "hisres": run_hisres}[args.grid_family]
         for combo in combos:
             for k, v in zip(keys, combo):
-                setattr(args, {"n_hidden": "n_hidden"}.get(k, k), v)
+                setattr(args, k, v)
+            # model_name() omits several sweepable keys (n_hidden, lr,
+            # seed, ...); give every combo its own checkpoint path so
+            # combos never share/restore each other's state
+            combo_tag = "-".join(f"{k}={v}" for k, v in zip(keys, combo))
+            args.checkpoint = os.path.join(
+                args.models_dir, f"grid-{args.grid_family}",
+                f"{model_name(args)}-{combo_tag}")
             r = family_runner(args)
             row = {"params": dict(zip(keys, combo)), "test_ent_mrr_raw": r["ent_raw"]["mrr"]}
             results.append(row)

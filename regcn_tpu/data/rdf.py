@@ -132,9 +132,16 @@ def _finalize(name: str, num_nodes: int, num_base_rels: int,
               train_idx: np.ndarray, test_idx: np.ndarray,
               num_classes: int, bfs_level: int, relabel: bool,
               add_inverse_and_self: bool = True) -> EntityClassData:
-    """Assemble edges (+ inverse ``r+R`` and self-loop relation ``2R``,
-    matching the reference cache convention ``num_rel = 2R+1``, ref :420)
-    and apply BFS pruning."""
+    """Assemble edges (+ inverse ``r+R`` and self-loop relation ``2R``)
+    and apply BFS pruning.
+
+    Relation-id layout note: only the COUNT (``num_rel = 2R+1``) matches
+    the reference's cached ``edges.npz`` (ref :420); the reference
+    interleaves ids (self=0, forward=2r+1, inverse=2r+2, ref
+    rgcn/knowledge_graph.py:431-441) while this emits blocked ids
+    (forward=r, inverse=r+R, self=2R). Each layout is self-consistent;
+    TSV/synthetic datasets are therefore not id-interchangeable with
+    reference caches (which are loaded verbatim by their own branch)."""
     s, r, o = triples[:, 0], triples[:, 1], triples[:, 2]
     if add_inverse_and_self:
         loop = np.arange(num_nodes, dtype=np.int64)
@@ -247,7 +254,11 @@ def generate_entity_class(name: str = "synthetic-entity-small",
     model cannot. Fills in for the absent aifb/mutag/bgs/am archives the
     same way data/synthetic.py fills in for the temporal tarball.
     """
-    cfg = dict(_ENTITY_PRESETS.get(name, _ENTITY_PRESETS["synthetic-entity-small"]))
+    if name not in _ENTITY_PRESETS:
+        raise KeyError(
+            f"unknown synthetic entity dataset {name!r}; "
+            f"known: {sorted(_ENTITY_PRESETS)}")
+    cfg = dict(_ENTITY_PRESETS[name])
     cfg.update({k: v for k, v in overrides.items() if v is not None})
     n, num_base = cfg["num_nodes"], cfg["num_base_rels"]
     n_classes, n_labeled = cfg["num_classes"], cfg["n_labeled"]

@@ -594,21 +594,20 @@ class HisResTrainer:
     def fit(self, state=None, checkpoint_path=None, resume: bool = False):
         """``resume=True``: restore the full state from ``checkpoint_path``
         and continue from the saved epoch."""
-        import os as _os
-
         tc = self.tc
         if state is None:
             state = self.init_state(jax.random.PRNGKey(tc.seed))
-        start_epoch, best_mrr = 0, 0.0
-        if resume and checkpoint_path and _os.path.exists(
-                _os.path.join(checkpoint_path, "meta.json")):
-            from regcn_tpu.train.state import restore_checkpoint
+        start_epoch, best_mrr, best_epoch = 0, 0.0, -1
+        from regcn_tpu.train.state import (
+            has_resumable_checkpoint,
+            restore_for_resume,
+        )
 
-            state, meta = restore_checkpoint(checkpoint_path, state)
-            start_epoch = int(meta.get("epoch", -1)) + 1
-            best_mrr = float(meta.get("mrr", 0.0))
-            log.info("resumed from %s at epoch %d (best MRR %.4f)",
-                     checkpoint_path, start_epoch, best_mrr)
+        if resume and has_resumable_checkpoint(checkpoint_path):
+            state, start_epoch, best_mrr, best_epoch = restore_for_resume(
+                checkpoint_path, state)
+            log.info("resumed from %s at epoch %d (best MRR %.4f @ %d)",
+                     checkpoint_path, start_epoch, best_mrr, best_epoch)
         ent_f = build_answer_filters_by_time(self.data.valid, self.num_rels, False)
         rel_f = build_answer_filters_by_time(self.data.valid, self.num_rels, True)
         # copy: the first epoch donates `state`'s buffers, and with resume
@@ -630,11 +629,16 @@ class HisResTrainer:
                 # deep copy: the next epoch donates `state`'s buffers
                 from regcn_tpu.train.state import copy_state
 
-                best_mrr, best_state = mrr, copy_state(state)
+                best_mrr, best_state, best_epoch = mrr, copy_state(state), epoch
                 if checkpoint_path:
                     from regcn_tpu.train.state import save_checkpoint
 
                     save_checkpoint(checkpoint_path, state, {"epoch": epoch, "mrr": mrr})
+            if checkpoint_path:
+                from regcn_tpu.train.state import save_last_checkpoint
+
+                save_last_checkpoint(checkpoint_path, state, epoch,
+                                     best_mrr, best_epoch)
         return best_state, {"best_valid_mrr_raw": best_mrr}
 
     def test(self, state, multi_step: bool = False, topk: int = 10,

@@ -28,6 +28,10 @@ from regcn_tpu.utils.init import RELU_GAIN, xavier_uniform
 
 Params = Dict[str, jax.Array]
 
+# elements (not bytes) allowed for the basis layer's gathered [B, E, out]
+# temporary before switching to the scanned low-memory order (~512 MB fp32)
+_BASIS_FUSE_ELEMS = 1 << 27
+
 
 def init_union_rgcn_layer(
     rng: jax.Array, h_dim: int, self_loop: bool = True, skip_connect: bool = False
@@ -215,26 +219,46 @@ def rgcn_basis_layer(
     """
     n = h.shape[0]
     weight = params["weight"]  # [B, in, out]
-    num_bases = weight.shape[0]
+    num_bases, out_feat = weight.shape[0], weight.shape[-1]
+    n_edges = snap.src.shape[0]
+
+    def combine_bases(tables):  # tables: [B, N, out] (gatherable per base)
+        """msg_e = sum_b comp[rel_e, b] * tables[b, src_e].
+
+        Two orderings with identical numerics: a single einsum over the
+        gathered [B, E, out] block (fastest when it fits), or a scan over
+        bases with an [E, out] accumulator (peak memory E*out instead of
+        B*E*out — for am-scale graphs the gathered block alone is tens of
+        GB, so the small-temporary order is load-bearing, not a tweak)."""
+        comp = params["w_comp"][snap.rel]  # [E, B]
+        if num_bases * n_edges * out_feat <= _BASIS_FUSE_ELEMS:
+            per_edge = tables[:, snap.src, :]  # [B, E, out]
+            return jnp.einsum("eb,beo->eo", comp, per_edge)
+
+        def step(acc, inputs):
+            table_b, comp_b = inputs  # [N, out], [E]
+            return acc + comp_b[:, None] * table_b[snap.src], None
+
+        init = jnp.zeros((n_edges, out_feat), tables.dtype)
+        msg, _ = jax.lax.scan(step, init, (tables, comp.T))
+        return msg
+
     if input_layer:
         # featureless mode: the message is row (rel_e, src_e) of the
-        # composed weight. Gather per-edge basis rows FIRST, then combine
-        # — never materialise the [R, N, out] composed tensor (for
-        # am-scale graphs that is tens of GB, defeating the basis trick)
-        per_edge = weight[:, snap.src, :]  # [B, E, out]
+        # composed weight — never materialise the [R, N, out] composed
+        # tensor (for am-scale graphs that is tens of GB, defeating the
+        # basis trick)
         if "w_comp" in params:
-            comp = params["w_comp"][snap.rel]  # [E, B]
+            msg = combine_bases(weight)
         else:
-            comp = jax.nn.one_hot(snap.rel, num_bases, dtype=weight.dtype)
-        msg = jnp.einsum("eb,beo->eo", comp, per_edge)
+            # num_bases == num_rels: direct double gather, no contraction
+            msg = weight[snap.rel, snap.src]
     else:
         proj = jnp.einsum("ni,bio->bno", h, weight)  # B GEMMs on the MXU
-        per_edge = proj[:, snap.src, :]  # [B, E, out]
         if "w_comp" in params:
-            comp = params["w_comp"][snap.rel]  # [E, B]
+            msg = combine_bases(proj)
         else:
-            comp = jax.nn.one_hot(snap.rel, num_bases, dtype=h.dtype)
-        msg = jnp.einsum("eb,beo->eo", comp, per_edge)
+            msg = proj[snap.rel, snap.src]
     agg = masked_segment_sum(msg, snap.dst, snap.edge_mask, n)
     agg = agg * snap.in_deg_norm[:, None]
     if "bias" in params:

@@ -385,20 +385,21 @@ class Trainer:
         reloads mid-training, ref:src/main.py:266-279).
         """
         cfg, tc = self.cfg, self.cfg.train
-        start_epoch, best_mrr = 0, 0.0
+        start_epoch, best_mrr, best_epoch = 0, 0.0, -1
         if state is None:
             state = create_train_state(
                 jax.random.PRNGKey(tc.seed), cfg.model, tc
             )
-        if resume and checkpoint_path and os.path.exists(
-                os.path.join(checkpoint_path, "meta.json")):
-            from regcn_tpu.train.state import restore_checkpoint
+        from regcn_tpu.train.state import (
+            has_resumable_checkpoint,
+            restore_for_resume,
+        )
 
-            state, meta = restore_checkpoint(checkpoint_path, state)
-            start_epoch = int(meta.get("epoch", -1)) + 1
-            best_mrr = float(meta.get("mrr", 0.0))
-            log.info("resumed from %s at epoch %d (best MRR %.4f)",
-                     checkpoint_path, start_epoch, best_mrr)
+        if resume and has_resumable_checkpoint(checkpoint_path):
+            state, start_epoch, best_mrr, best_epoch = restore_for_resume(
+                checkpoint_path, state)
+            log.info("resumed from %s at epoch %d (best MRR %.4f @ %d)",
+                     checkpoint_path, start_epoch, best_mrr, best_epoch)
         ent_filters_v = build_answer_filters_by_time(self.data.valid, self.num_rels, False)
         rel_filters_v = build_answer_filters_by_time(self.data.valid, self.num_rels, True)
 
@@ -432,7 +433,7 @@ class Trainer:
                     epoch, mrr, stats["ent_filter"].mrr, best_mrr,
                 )
                 if mrr > best_mrr:
-                    best_mrr = mrr
+                    best_mrr, best_epoch = mrr, epoch
                     # deep copy: the next epoch donates `state`'s buffers
                     from regcn_tpu.train.state import copy_state
 
@@ -441,6 +442,11 @@ class Trainer:
                         from regcn_tpu.train.state import save_checkpoint
 
                         save_checkpoint(checkpoint_path, state, {"epoch": epoch, "mrr": mrr})
+                if checkpoint_path:
+                    from regcn_tpu.train.state import save_last_checkpoint
+
+                    save_last_checkpoint(checkpoint_path, state, epoch,
+                                         best_mrr, best_epoch)
         return best_state, {"best_valid_mrr_raw": best_mrr, "history": history_rows}
 
     def test(self, state: TrainState, multi_step: bool = False, topk: int = 10):

@@ -86,6 +86,42 @@ def restore_checkpoint(path: str, template: TrainState):
     return state, meta
 
 
+def save_last_checkpoint(path: str, state, epoch: int, best_mrr: float,
+                         best_epoch: int):
+    """Persist the state at the LAST completed epoch under ``<path>/last``.
+
+    The root of ``path`` holds the best-on-valid checkpoint (saved only on
+    improvement); resuming from it alone would restart at best_epoch+1 and
+    re-run (and re-randomize) every post-best epoch, resetting the early-
+    stopping patience counter. The ``last`` sidecar makes resume exact."""
+    save_checkpoint(os.path.join(path, "last"), state,
+                    {"epoch": int(epoch), "best_mrr": float(best_mrr),
+                     "best_epoch": int(best_epoch)})
+
+
+def restore_for_resume(path: str, template):
+    """Restore for ``fit(resume=True)``.
+
+    Returns ``(state, start_epoch, best_mrr, best_epoch)``, preferring the
+    per-epoch ``<path>/last`` checkpoint; falls back to the best-only root
+    layout (older checkpoints), where last==best by construction."""
+    last = os.path.join(path, "last")
+    if os.path.exists(os.path.join(last, "meta.json")):
+        state, meta = restore_checkpoint(last, template)
+        return (state, int(meta["epoch"]) + 1,
+                float(meta.get("best_mrr", 0.0)),
+                int(meta.get("best_epoch", -1)))
+    state, meta = restore_checkpoint(path, template)
+    ep = int(meta.get("epoch", -1))
+    return state, ep + 1, float(meta.get("mrr", 0.0)), ep
+
+
+def has_resumable_checkpoint(path) -> bool:
+    return bool(path) and (
+        os.path.exists(os.path.join(path, "meta.json"))
+        or os.path.exists(os.path.join(path, "last", "meta.json")))
+
+
 def copy_state(state):
     """Deep device copy of a train-state pytree.
 

@@ -144,3 +144,41 @@ def test_synthetic_presets_exist():
 
     with pytest.raises(KeyError, match="unknown synthetic dataset"):
         generate("synthetic-icews0515")
+
+
+def test_filtered_rank_tie_density():
+    """Tie-convention guard (see train/metrics.py docstring): this
+    implementation uses the optimistic rank (1 + #strictly-greater), the
+    reference uses sort position — equal only when the target's score is
+    tie-free. Assert (a) masked entries can never tie with or beat a
+    finite target score, and (b) on a realistic random score matrix the
+    target tie density is zero, so the conventions agree."""
+    import numpy as np
+
+    from regcn_tpu.train import metrics
+
+    rng = np.random.default_rng(0)
+    B, N = 64, 500
+    scores = rng.normal(size=(B, N)).astype(np.float32)
+    targets = rng.integers(0, N, size=B)
+
+    # (a) FILTER_VALUE sits far below any achievable fp32 score here and
+    # never collides with a target score
+    tgt = np.take_along_axis(scores, targets[:, None], axis=1)
+    assert (tgt > metrics.FILTER_VALUE).all()
+    masked = scores.copy()
+    rows = np.arange(B).repeat(50)
+    cols = rng.integers(0, N, size=50 * B)
+    keep = cols != targets.repeat(50)
+    masked[rows[keep], cols[keep]] = metrics.FILTER_VALUE
+    r = metrics.ranks_from_scores(masked, targets)
+    assert (r >= 1).all() and (r <= N).all()
+
+    # (b) tie density at the target: zero on continuous scores, so
+    # optimistic rank == sort-position rank
+    ties = np.sum(scores == tgt, axis=1) - 1  # excluding the target itself
+    assert int(ties.sum()) == 0
+    order = np.argsort(-scores, axis=1)
+    sort_rank = 1 + np.argmax(order == targets[:, None], axis=1)
+    np.testing.assert_array_equal(metrics.ranks_from_scores(scores, targets),
+                                  sort_rank)
