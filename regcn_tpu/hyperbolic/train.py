@@ -105,13 +105,20 @@ class HyperbolicTrainer:
         tc: TrainConfig,
         data: TKGData,
         triple_batch_size: Optional[int] = None,
+        triple_batch_mode: str = "accumulate",
         curvature_warmup_epochs: int = 0,
         mesh=None,
     ):
+        if triple_batch_mode not in ("accumulate", "per_chunk"):
+            raise ValueError(
+                f"triple_batch_mode must be 'accumulate' (reference parity, "
+                f"ref:hyperbolic_main.py:572-628) or 'per_chunk', got "
+                f"{triple_batch_mode!r}")
         self.cfg = cfg
         self.tc = tc
         self.data = data
         self.triple_batch_size = triple_batch_size
+        self.triple_batch_mode = triple_batch_mode
         self.curvature_warmup_epochs = curvature_warmup_epochs
         # optional jax.sharding.Mesh: entity tables/moments row-sharded
         # over the graph axis (GSPMD), same rules as parallel/sharding.py
@@ -236,6 +243,57 @@ class HyperbolicTrainer:
             )
 
         self.train_step = jax.jit(train_step, donate_argnums=(0,))
+
+        def accum_grad_step(state: HypTrainState, acc, history, triples, mask,
+                            cmax, rb=None, tans=None):
+            """One mini-batch forward/backward WITHOUT an optimizer step:
+            adds this chunk's fp32 grads into the accumulator and threads
+            model/EST/PRNG state (ref:hyperbolic_main.py:585-604 —
+            ``loss.backward()`` per mini-batch, grads summed)."""
+            rng, step_rng = jax.random.split(state.rng)
+            est_inputs = (state.est_state, rb) if (cfg.use_est and rb is not None) else None
+            grads, (losses, new_model_state, aux) = jax.grad(loss_fn, has_aux=True)(
+                state.params, state.model_state, history, triples, mask,
+                step_rng, cmax, est_inputs, tans,
+            )
+            if cdt != jnp.float32:
+                grads = tree_to_fp32(grads)
+                losses = tree_to_fp32(losses)
+            acc = jax.tree.map(jnp.add, acc, grads)
+            new_est = state.est_state
+            if cfg.use_est and new_est is not None:
+                from regcn_tpu.hyperbolic import ops as H
+
+                ctx_tan = H.log_map_zero(aux["pre_emb"][triples[:, 0]], aux["curvature"])
+                new_est = est_mod.update_states(
+                    state.params["est"], new_est, triples[:, 0], mask,
+                    ctx_tan, cfg.est_state_alpha,
+                )
+            return (
+                HypTrainState(params=state.params, opt_state=state.opt_state,
+                              model_state=new_model_state, est_state=new_est,
+                              rng=rng, step=state.step),
+                acc,
+                losses,
+            )
+
+        self.accum_grad_step = jax.jit(accum_grad_step, donate_argnums=(0, 1))
+
+        def apply_accumulated(state: HypTrainState, acc):
+            """Optimizer step from summed mini-batch grads; the optax chain
+            clips AFTER accumulation, matching the reference's
+            ``clip_grad_norm_`` → ``optimizer.step()`` once per snapshot
+            (ref:hyperbolic_main.py:627-628)."""
+            updates, new_opt = opt.update(acc, state.opt_state, state.params)
+            new_params = constrain_entities(optax.apply_updates(state.params, updates))
+            return HypTrainState(params=new_params, opt_state=new_opt,
+                                 model_state=state.model_state,
+                                 est_state=state.est_state,
+                                 rng=state.rng, step=state.step + 1)
+
+        self.apply_accumulated = jax.jit(apply_accumulated, donate_argnums=(0, 1))
+        self.zero_grads = jax.jit(
+            lambda params: jax.tree.map(jnp.zeros_like, params))
 
         def predict_step(state: HypTrainState, history, triples, mask, rb=None):
             est_inputs = (state.est_state, rb) if (cfg.use_est and rb is not None) else None
@@ -445,20 +503,49 @@ class HyperbolicTrainer:
                 tans = est_mod.tans_mask_coo(triples, mask, self.true_tails)
                 tans = (jnp.asarray(tans[0]), jnp.asarray(tans[1]))
             if self.triple_batch_size and len(triples) > self.triple_batch_size:
-                # snapshot-inner mini-batching (ref :572-628): here each
-                # chunk takes its own optimizer step — a documented
-                # divergence from the reference's grad accumulation, traded
-                # for static shapes
+                # snapshot-inner mini-batching (ref :572-628). Default mode
+                # "accumulate" is reference parity: grads SUM across chunks
+                # (each chunk's loss is its own mean — no rescaling), clip
+                # + optimizer step ONCE per snapshot. Mode "per_chunk"
+                # steps per chunk (a different SGD trajectory; kept as an
+                # explicit option). Static shapes per chunk either way.
                 tb = self.triple_batch_size
+                acc = None
+                if self.triple_batch_mode == "accumulate":
+                    acc = self.zero_grads(state.params)
+                chunk_losses = []
                 for s in range(0, len(triples), tb):
                     tr, mk = triples[s:s + tb], mask[s:s + tb]
                     if mk.sum() == 0:
                         continue
-                    state, losses = self.train_step(
-                        state, history, jnp.asarray(tr), jnp.asarray(mk), cmax,
-                        rb, tans)
+                    rb_c = None
+                    if rb is not None:
+                        rb_c = est_mod.RetrievalBatch(
+                            nb_ents=rb.nb_ents[s:s + tb],
+                            nb_rels=rb.nb_rels[s:s + tb],
+                            deltas=rb.deltas[s:s + tb],
+                            event_mask=rb.event_mask[s:s + tb],
+                            row_mask=rb.row_mask[s:s + tb])
+                    tans_c = None
+                    if cfg.use_time_aware_negative and self.true_tails is not None:
+                        tans_c = est_mod.tans_mask_coo(tr, mk, self.true_tails)
+                        tans_c = (jnp.asarray(tans_c[0]), jnp.asarray(tans_c[1]))
+                    if acc is not None:
+                        state, acc, losses = self.accum_grad_step(
+                            state, acc, history, jnp.asarray(tr),
+                            jnp.asarray(mk), cmax, rb_c, tans_c)
+                    else:
+                        state, losses = self.train_step(
+                            state, history, jnp.asarray(tr), jnp.asarray(mk),
+                            cmax, rb_c, tans_c)
+                    chunk_losses.append(losses)
+                if acc is not None and chunk_losses:
+                    state = self.apply_accumulated(state, acc)
+                # log the per-snapshot average of chunk losses (ref :607-614)
+                if chunk_losses:
+                    host = jax.device_get(chunk_losses)
                     for k in sums:
-                        sums[k] += float(losses[k])
+                        sums[k] += float(np.mean([h[k] for h in host]))
                     n += 1
             else:
                 state, losses = self.train_step(
@@ -595,29 +682,30 @@ class HyperbolicTrainer:
 
         ``resume=True``: restore the full state (params + optimizer +
         EST buffers + epoch) from ``checkpoint_path`` and continue."""
-        import os as _os
-
         tc = self.tc
         if state is None:
             state = self.init_state(jax.random.PRNGKey(tc.seed))
         n_epochs = n_epochs or tc.n_epochs
-        start_epoch, best_mrr = 0, 0.0
-        if resume and checkpoint_path and _os.path.exists(
-                _os.path.join(checkpoint_path, "meta.json")):
-            from regcn_tpu.train.state import restore_checkpoint
+        start_epoch, best_mrr, best_epoch = 0, 0.0, -1
+        from regcn_tpu.train.state import (
+            has_resumable_checkpoint,
+            restore_for_resume,
+        )
 
-            state, meta = restore_checkpoint(checkpoint_path, state)
-            start_epoch = int(meta.get("epoch", -1)) + 1
-            best_mrr = float(meta.get("mrr", 0.0))
-            log.info("resumed from %s at epoch %d (best MRR %.4f)",
-                     checkpoint_path, start_epoch, best_mrr)
+        if resume and has_resumable_checkpoint(checkpoint_path):
+            state, start_epoch, best_mrr, best_epoch = restore_for_resume(
+                checkpoint_path, state)
+            log.info("resumed from %s at epoch %d (best MRR %.4f @ %d)",
+                     checkpoint_path, start_epoch, best_mrr, best_epoch)
         ent_f = build_answer_filters_by_time(self.data.valid, self.num_rels, False)
         rel_f = build_answer_filters_by_time(self.data.valid, self.num_rels, True)
         # copy: the first epoch donates `state`'s buffers, and with resume
         # restoring best_mrr no epoch may improve on it
         from regcn_tpu.train.state import copy_state as _copy
 
-        best_state, bad_epochs = _copy(state), 0
+        # patience counter survives resume: epochs since the best epoch
+        best_state = _copy(state)
+        bad_epochs = max(0, start_epoch - 1 - best_epoch) if best_epoch >= 0 else 0
         history_rows = []
         for epoch in range(start_epoch, n_epochs):
             t0 = time.time()
@@ -637,15 +725,21 @@ class HyperbolicTrainer:
                 from regcn_tpu.train.state import copy_state
 
                 best_mrr, best_state, bad_epochs = mrr, copy_state(state), 0
+                best_epoch = epoch
                 if checkpoint_path:
                     from regcn_tpu.train.state import save_checkpoint
 
                     save_checkpoint(checkpoint_path, state, {"epoch": epoch, "mrr": mrr})
             else:
                 bad_epochs += 1
-                if bad_epochs >= patience:
-                    log.info("early stop at epoch %d (patience %d)", epoch, patience)
-                    break
+            if checkpoint_path:
+                from regcn_tpu.train.state import save_last_checkpoint
+
+                save_last_checkpoint(checkpoint_path, state, epoch,
+                                     best_mrr, best_epoch)
+            if bad_epochs >= patience:
+                log.info("early stop at epoch %d (patience %d)", epoch, patience)
+                break
         return best_state, {"best_valid_mrr_raw": best_mrr, "history": history_rows}
 
     def test(self, state):

@@ -420,3 +420,95 @@ def test_no_weak_typed_params(tiny_data, decoder):
         if getattr(getattr(leaf, "aval", None), "weak_type", False)
     ]
     assert not weak, f"weak-typed param leaves: {weak}"
+
+
+def test_triple_batch_accumulation_matches_manual_grad_sum(tiny_data):
+    """--triple-batch-size reference parity (ref:hyperbolic_main.py:572-628):
+    per-chunk grads SUM (each chunk's loss is its own mean, no rescaling),
+    then clip + optimizer step ONCE per snapshot. The trainer's
+    accum_grad_step/apply_accumulated pipeline must equal a hand-rolled
+    jax.grad-per-chunk sum followed by one optax update."""
+    from regcn_tpu.train.state import copy_state
+
+    cfg = _cfg(tiny_data, decoder="hyperbolic_convtranse")
+    tc = _tc()
+    trainer = HyperbolicTrainer(cfg, tc, tiny_data, triple_batch_size=16)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    ref = copy_state(state)
+
+    tl = trainer.train_list
+    history = build_history(tl[:3], tiny_data.num_nodes, tiny_data.num_rels,
+                            edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket)
+    triples, mask = pad_triples(tl[3], tiny_data.num_rels, tc.triple_bucket)
+    cmax = jnp.asarray(trainer._curvature_max(0), jnp.float32)
+    tb = 16
+
+    # hand-rolled reference: grad per chunk with the same PRNG split chain
+    def total_loss(p, ms, tr, mk, rng):
+        _, losses, new_ms, _ = hmodel.get_loss(
+            p, ms, cfg, history, tr, mk, rng=rng, train=True,
+            curvature_max=cmax)
+        total = (tc.task_weight * losses["entity"]
+                 + (1.0 - tc.task_weight) * losses["relation"]
+                 + losses["static"] + losses["radius"])
+        return total, new_ms
+
+    rng = ref.rng
+    ms = ref.model_state
+    acc_manual = jax.tree.map(jnp.zeros_like, ref.params)
+    for s in range(0, len(triples), tb):
+        tr = jnp.asarray(triples[s:s + tb])
+        mk = jnp.asarray(mask[s:s + tb])
+        if float(mk.sum()) == 0:
+            continue
+        rng, step_rng = jax.random.split(rng)
+        grads, ms = jax.grad(total_loss, has_aux=True)(
+            ref.params, ms, tr, mk, step_rng)
+        acc_manual = jax.tree.map(jnp.add, acc_manual, grads)
+    updates, _ = trainer.opt.update(acc_manual, ref.opt_state, ref.params)
+    import optax as _optax
+
+    expected = _optax.apply_updates(ref.params, updates)
+
+    # trainer path (donates state/acc, so run it on the original state)
+    acc = trainer.zero_grads(state.params)
+    for s in range(0, len(triples), tb):
+        tr = jnp.asarray(triples[s:s + tb])
+        mk = jnp.asarray(mask[s:s + tb])
+        if float(mk.sum()) == 0:
+            continue
+        state, acc, _ = trainer.accum_grad_step(
+            state, acc, history, tr, mk, cmax, None, None)
+    acc_host = jax.device_get(acc)  # apply_accumulated donates acc
+    state = trainer.apply_accumulated(state, acc)
+
+    # summed grads match tightly; params after Adam's first step get a
+    # looser bound (the m/sqrt(v) normalisation amplifies fp32
+    # reduction-order noise for near-zero grads)
+    for e, g in zip(jax.tree_util.tree_leaves(acc_manual),
+                    jax.tree_util.tree_leaves(acc_host)):
+        np.testing.assert_allclose(np.asarray(e), np.asarray(g),
+                                   rtol=1e-4, atol=1e-5)
+    for e, g in zip(jax.tree_util.tree_leaves(expected),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(e), np.asarray(g),
+                                   rtol=2e-2, atol=1e-4)
+    assert int(state.step) == 1  # ONE optimizer step for the whole snapshot
+
+
+def test_triple_batch_modes_step_counts(tiny_data):
+    """accumulate mode steps once per snapshot; per_chunk steps once per
+    chunk — both run end-to-end with finite losses."""
+    cfg = _cfg(tiny_data, decoder="hyperbolic_convtranse")
+    tc = _tc()
+    n_snaps = len(split_by_time(tiny_data.train)) - 1
+    steps = {}
+    for mode in ("accumulate", "per_chunk"):
+        trainer = HyperbolicTrainer(cfg, tc, tiny_data, triple_batch_size=16,
+                                    triple_batch_mode=mode)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state, losses = trainer.run_epoch(state, 0)
+        assert np.isfinite(losses["entity"])
+        steps[mode] = int(state.step)
+    assert steps["accumulate"] == n_snaps
+    assert steps["per_chunk"] > n_snaps
