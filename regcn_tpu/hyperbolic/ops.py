@@ -229,7 +229,9 @@ def to_poincare(y: jax.Array, c, eps: float = EPS) -> jax.Array:
 
 def lorentz_log_map(x: jax.Array, base: jax.Array, c, eps: float = EPS) -> jax.Array:
     """Log map at a base point on the hyperboloid (ref :520-539)."""
-    alpha = jnp.minimum(-lorentz_inner(base, x, keepdims=True), -1.0 - eps)
+    # NOTE the reference's clamp binds BEFORE negation
+    # (``-inner.clamp(max=-1-eps)``), so alpha = -<base,x>_L >= 1+eps
+    alpha = jnp.maximum(-lorentz_inner(base, x, keepdims=True), 1.0 + eps)
     coef = jnp.arccosh(alpha * jnp.sqrt(c)) / jnp.sqrt(
         jnp.maximum(alpha**2 - 1.0, eps)
     )
