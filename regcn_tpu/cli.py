@@ -209,6 +209,7 @@ def make_hyperbolic_configs(args, data):
         use_est=args.use_est, est_state_alpha=args.est_state_alpha,
         est_encoder=args.est_encoder, est_history_len=args.est_history_len,
         use_time_aware_negative=args.use_time_aware_negative,
+        impl=args.impl,
     )
     tc = TrainConfig(
         lr=args.lr, grad_norm=args.grad_norm, n_epochs=args.n_epochs,

@@ -111,20 +111,46 @@ def dist_score(
     return block
 
 
+# candidate count at which the training CE switches to the Pallas
+# flash-softmax kernel (proxy-distance path only): below this the [B, N]
+# logits are small enough that XLA's fused GEMM+logsumexp wins on
+# dispatch overhead
+STREAMING_CE_MIN_N = 8192
+
+
 def dist_ce_loss(
     query, candidates, target, c,
     *,
     mask: Optional[jax.Array] = None,
     candidate_bias=None, score_scale=None, score_margin=0.0,
     query_curvature=None, use_hyperbolic_distance=False,
+    streaming="auto",
 ) -> jax.Array:
     """Masked-mean CE over all candidates (ref :182-307).
 
     The reference streams logsumexp across candidate chunks to bound
     memory; with the algebraic fusion the [B, N] logits are only
-    B*N floats, so a direct (XLA-fused) logsumexp is both faster and
-    exactly equivalent.
+    B*N floats, so a direct (XLA-fused) logsumexp is usually fastest.
+    For large candidate sets on TPU the proxy-distance path instead runs
+    the Pallas flash-softmax kernel (ops/pallas_scoring.py): the [B, N]
+    logits never touch HBM in either direction. ``streaming`` is
+    True/False/"auto" (auto = TPU, proxy path, N >= STREAMING_CE_MIN_N).
     """
+    if streaming == "auto":
+        streaming = (
+            not use_hyperbolic_distance
+            and query_curvature is None
+            and candidates.shape[0] >= STREAMING_CE_MIN_N
+            and jax.default_backend() == "tpu"
+        )
+    if streaming:
+        from regcn_tpu.ops.pallas_scoring import streaming_dist_ce_loss
+
+        return streaming_dist_ce_loss(
+            query, candidates, target, c, mask=mask,
+            candidate_bias=candidate_bias, score_scale=score_scale,
+            score_margin=score_margin,
+        )
     logits = dist_score(
         query, candidates, c,
         candidate_bias=candidate_bias, score_scale=score_scale,

@@ -64,6 +64,23 @@ def init_hyperbolic_union_layer(rng, h_dim, self_loop=True, skip_connect=False) 
     return p
 
 
+
+def _agg_scatter(msg, snap, n, impl):
+    """Masked-edge scatter-sum: XLA segment_sum or the Pallas MXU kernel
+    (ops/pallas_rgcn.py; edges destination-sorted on device)."""
+    if impl == "pallas":
+        from regcn_tpu.ops.pallas_rgcn import scatter_add_sorted
+
+        dst_key = jnp.where(snap.edge_mask > 0, snap.dst, n)
+        order = jnp.argsort(dst_key)
+        agg = scatter_add_sorted(
+            msg[order].astype(jnp.float32), dst_key[order], n)
+        return agg.astype(msg.dtype)
+    return jax.ops.segment_sum(
+        msg.astype(jnp.float32), snap.dst, num_segments=n
+    ).astype(msg.dtype)
+
+
 def hyperbolic_union_layer(
     params: Params,
     h_hyper: jax.Array,  # [N, d] on the ball
@@ -76,6 +93,7 @@ def hyperbolic_union_layer(
     dropout: float = 0.0,
     rng=None,
     train: bool = False,
+    impl: str = "xla",
 ) -> jax.Array:
     n = h_hyper.shape[0]
     h_tan = H.log_map_zero(h_hyper, c)
@@ -84,9 +102,7 @@ def hyperbolic_union_layer(
     msg = (h_tan[snap.src] + rel_emb[snap.rel]) @ params["w_neighbor"]
     rw = jnp.exp(-radius_gamma * jnp.abs(radius[snap.src] - radius[snap.dst]))
     msg = msg * (rw * snap.edge_mask)[:, None]
-    agg = jax.ops.segment_sum(
-        msg.astype(jnp.float32), snap.dst, num_segments=n
-    ).astype(msg.dtype)
+    agg = _agg_scatter(msg, snap, n, impl)
     h_new = agg * snap.in_deg_norm[:, None]
     h_new = jnp.clip(h_new, -CLAMP, CLAMP)
 
@@ -119,6 +135,7 @@ def union_layer_tangent(
     dropout: float = 0.0,
     rng=None,
     train: bool = False,
+    impl: str = "xla",
 ) -> jax.Array:
     """Tangent-in/tangent-out :func:`hyperbolic_union_layer`.
 
@@ -134,9 +151,7 @@ def union_layer_tangent(
     msg = (v[snap.src] + rel_emb[snap.rel]) @ params["w_neighbor"]
     rw = jnp.exp(-radius_gamma * jnp.abs(radius[snap.src] - radius[snap.dst]))
     msg = msg * (rw * snap.edge_mask)[:, None]
-    agg = jax.ops.segment_sum(
-        msg.astype(jnp.float32), snap.dst, num_segments=n
-    ).astype(msg.dtype)
+    agg = _agg_scatter(msg, snap, n, impl)
     h_new = agg * snap.in_deg_norm[:, None]
     h_new = jnp.clip(h_new, -CLAMP, CLAMP)
 
@@ -166,6 +181,7 @@ def uvrgcn_cell_tangent(
     dropout: float = 0.0,
     rng=None,
     train: bool = False,
+    impl: str = "xla",
 ) -> jax.Array:
     """Tangent-space layer stack matching :func:`encoder_cell` for
     ``hyperbolic_uvrgcn`` (same rng fold structure, so train-mode dropout
@@ -178,6 +194,7 @@ def uvrgcn_cell_tangent(
             lp, x, rel_emb, snap, c,
             prev_v=prev if i > 0 else None,
             radius_gamma=radius_gamma, dropout=dropout, rng=k, train=train,
+            impl=impl,
         )
         prev = x
         # between layers the ball path exp-maps then re-log-maps
@@ -429,6 +446,7 @@ def encoder_cell(
     dropout: float = 0.0,
     rng=None,
     train: bool = False,
+    impl: str = "xla",
 ) -> jax.Array:
     x = h_hyper
     prev = None
@@ -437,7 +455,8 @@ def encoder_cell(
         kwargs = dict(prev_h=prev if i > 0 else None, dropout=dropout, rng=k, train=train)
         if encoder == "hyperbolic_uvrgcn":
             new_x = hyperbolic_union_layer(
-                lp, x, rel_emb, snap, c, radius_gamma=radius_gamma, **kwargs
+                lp, x, rel_emb, snap, c, radius_gamma=radius_gamma,
+                impl=impl, **kwargs
             )
         elif encoder == "fhnn":
             new_x = fhnn_layer(lp, x, rel_emb, snap, c, **kwargs)

@@ -110,6 +110,9 @@ class HyperbolicConfig:
     est_encoder: str = "gru"
     est_history_len: int = 32
     use_time_aware_negative: bool = False
+    # scatter backend for the uvrgcn aggregation: "xla" segment_sum or the
+    # Pallas MXU one-hot kernel (ops/pallas_rgcn.py)
+    impl: str = "xla"
 
     @property
     def num_rels_total(self) -> int:
@@ -328,7 +331,7 @@ def evolve(
             params["rgcn"], cfg.encoder, h, h0_new, snap, c,
             n_bases=cfg.n_bases, num_heads=cfg.num_heads,
             radius_gamma=cfg.radius_msg_gamma, dropout=cfg.dropout,
-            rng=k, train=train,
+            rng=k, train=train, impl=cfg.impl,
         )
         cur = H.project_to_ball(cur, c)
         if cfg.layer_norm:
@@ -392,7 +395,7 @@ def _evolve_tangent(
         cur = HL.uvrgcn_cell_tangent(
             params["rgcn"], v, h0_new, snap, c,
             radius_gamma=cfg.radius_msg_gamma, dropout=cfg.dropout,
-            rng=k, train=train,
+            rng=k, train=train, impl=cfg.impl,
         )
         # ball path: project (folded into the cell's final clamp) then
         # tangent layer-norm then clip; unit rows make the clip a no-op

@@ -3,14 +3,22 @@
 The aggregation ``out[v] = sum_{e: dst_e = v} msg_e`` is the sparse half
 of the UnionRGCN layer (SURVEY.md §3.4). XLA lowers ``segment_sum`` to a
 serialized scatter on TPU; this kernel instead rides the MXU: edges are
-destination-sorted, streamed in tiles, and each tile's contribution is a
-one-hot [CHUNK, TE] x [TE, d] matmul accumulated into the VMEM-resident
-output. Because the edges are sorted, each tile only intersects a couple
-of row chunks — a ``pl.when`` guard skips the rest, so total MXU work is
-O(E * CHUNK * d) rather than O(E * N * d).
+destination-sorted and the one-hot [CHUNK, TE] x [TE, d] matmul
+accumulates each edge tile's contribution into the current output row
+tile.
 
-Scope: N * d must fit VMEM (≈ N ≤ 15k at d=200 f32); the public wrapper
-falls back to the XLA path otherwise. Backward = gather (custom VJP).
+Tiling (round 2): the output is tiled over the grid's major axis, so N
+is unbounded — the old single-block kernel needed the whole [N, d]
+table in VMEM and silently fell back to XLA above N*d*4 = 8 MB (i.e.
+for every dataset bigger than ICEWS14s). Per row tile, the intersecting
+edge-tile span [lo, lo+nt) is precomputed with a searchsorted on the
+sorted dst vector and scalar-prefetched; the inner grid axis walks only
+that span (a static worst-case bound T keeps shapes fixed; surplus steps
+clamp the index map to the previous tile — no DMA — and skip compute
+via ``pl.when``). Total MXU work is O(intersections * CHUNK * d), and
+VMEM holds one [CHUNK, d] output tile + one edge tile.
+
+Backward = gather (custom VJP).
 """
 
 from __future__ import annotations
@@ -27,40 +35,35 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _scatter_kernel(dst_ref, msg_ref, out_ref, *, n_rows, chunk, te):
-    i = pl.program_id(0)
+def _scatter_kernel(lo_ref, nt_ref, dst_ref, msg_ref, out_ref, *, chunk, te):
+    i = pl.program_id(0)  # output row tile
+    j = pl.program_id(1)  # position within this row tile's edge-tile span
 
-    @pl.when(i == 0)
+    @pl.when(j == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    dstv = dst_ref[:, 0]  # [TE]; padded entries carry n_rows (never match)
-    first = jnp.min(dstv)
-    last = jnp.max(jnp.where(dstv >= n_rows, -1, dstv))
-
-    msg = msg_ref[:]  # [TE, d]
-    # the MXU truncates fp32 dot inputs to bf16; the one-hot factor is
-    # exact in bf16, so splitting msg into bf16 hi/lo halves keeps the
-    # scatter fp32-exact (two matmuls instead of a 6-pass HIGHEST dot)
-    msg_hi = msg.astype(jnp.bfloat16).astype(jnp.float32)
-    msg_lo = msg - msg_hi
-    for k in range(n_rows // chunk):
-        row0 = k * chunk
-
-        @pl.when((last >= row0) & (first < row0 + chunk))
-        def _(k=k, row0=row0):
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, (chunk, te), 0) + row0
-            onehot = (row_ids == dstv[None, :]).astype(jnp.float32)
-            out_ref[row0:row0 + chunk, :] += (
-                jnp.dot(onehot, msg_hi, preferred_element_type=jnp.float32)
-                + jnp.dot(onehot, msg_lo, preferred_element_type=jnp.float32)
-            )
+    @pl.when(j < nt_ref[i])
+    def _():
+        dstv = dst_ref[:, 0]  # [TE]; padded entries carry n_pad (never match)
+        msg = msg_ref[:]  # [TE, d]
+        # the MXU truncates fp32 dot inputs to bf16; the one-hot factor is
+        # exact in bf16, so splitting msg into bf16 hi/lo halves keeps the
+        # scatter fp32-exact (two matmuls instead of a 6-pass HIGHEST dot)
+        msg_hi = msg.astype(jnp.bfloat16).astype(jnp.float32)
+        msg_lo = msg - msg_hi
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (chunk, te), 0) + i * chunk
+        onehot = (row_ids == dstv[None, :]).astype(jnp.float32)
+        out_ref[:] += (
+            jnp.dot(onehot, msg_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(onehot, msg_lo, preferred_element_type=jnp.float32)
+        )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def scatter_add_sorted(msg, dst, num_segments, tile_edges=512, chunk=512):
     """out[v] = sum of msg rows with dst == v; dst must be sorted ascending
-    with padded entries set to num_segments."""
+    with padded entries set to num_segments. Any N (output row-tiled)."""
     return _scatter_fwd_impl(msg, dst, num_segments, tile_edges, chunk)
 
 
@@ -68,18 +71,39 @@ def _scatter_fwd_impl(msg, dst, num_segments, tile_edges, chunk):
     E, d = msg.shape
     n_pad = _round_up(num_segments, chunk)
     e_pad = _round_up(E, tile_edges)
-    msg_p = jnp.pad(msg, ((0, e_pad - E), (0, 0)))
-    dst_p = jnp.pad(dst, (0, e_pad - E), constant_values=n_pad)
-    out = pl.pallas_call(
-        functools.partial(_scatter_kernel, n_rows=n_pad, chunk=chunk, te=tile_edges),
-        grid=(e_pad // tile_edges,),
+    n_row_tiles = n_pad // chunk
+    n_edge_tiles = e_pad // tile_edges
+    msg_p = jnp.pad(msg, ((0, e_pad - E), (0, 0))).astype(jnp.float32)
+    dst_p = jnp.pad(dst, (0, e_pad - E), constant_values=n_pad).astype(jnp.int32)
+
+    # per row tile: contiguous edge span (dst is sorted) -> edge-tile span
+    bounds = jnp.arange(n_row_tiles + 1, dtype=jnp.int32) * chunk
+    edges_at = jnp.searchsorted(dst_p, bounds, side="left").astype(jnp.int32)
+    starts, ends = edges_at[:-1], edges_at[1:]
+    lo_tile = jnp.minimum(starts // tile_edges, n_edge_tiles - 1)
+    hi_tile = (jnp.maximum(ends, 1) - 1) // tile_edges + 1
+    n_tiles = jnp.where(ends > starts, hi_tile - lo_tile, 0).astype(jnp.int32)
+
+    def edge_tile_index(i, j, lo_ref, nt_ref):
+        # clamp surplus steps onto the span's last tile: the block index
+        # repeats, so no DMA happens and pl.when skips the compute
+        jj = jnp.minimum(j, jnp.maximum(nt_ref[i] - 1, 0))
+        return (lo_ref[i] + jj, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_row_tiles, n_edge_tiles),
         in_specs=[
-            pl.BlockSpec((tile_edges, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_edges, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_edges, 1), edge_tile_index),
+            pl.BlockSpec((tile_edges, d), edge_tile_index),
         ],
-        out_specs=pl.BlockSpec((n_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((chunk, d), lambda i, j, lo, nt: (i, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_scatter_kernel, chunk=chunk, te=tile_edges),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
-    )(dst_p.reshape(-1, 1).astype(jnp.int32), msg_p.astype(jnp.float32))
+    )(lo_tile, n_tiles, dst_p.reshape(-1, 1), msg_p)
     return out[:num_segments]
 
 
@@ -103,13 +127,8 @@ def rgcn_aggregate_pallas(h, rel_emb, weight, src, dst, rel, edge_mask, in_deg_n
 
     Sorts edges by destination on device (cheap vs the GEMMs), computes
     the edge GEMM with XLA (already MXU-optimal), and runs the scatter on
-    the Pallas kernel. Falls back to XLA when N*d exceeds the VMEM budget.
-    """
+    the Pallas kernel. Output row-tiling makes it valid for any N."""
     n, d = h.shape
-    if n * d * 4 > 8 * 1024 * 1024:  # VMEM budget for the output block
-        from regcn_tpu.ops.rgcn_scatter import _rgcn_aggregate_xla
-
-        return _rgcn_aggregate_xla(h, rel_emb, weight, src, dst, rel, edge_mask, in_deg_norm)
 
     # destination sort; masked edges pushed to the end with dst = n
     dst_key = jnp.where(edge_mask > 0, dst, n)

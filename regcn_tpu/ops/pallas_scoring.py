@@ -139,6 +139,80 @@ def _streaming_ce_parts(q, candidates, bias, target, c, scale, margin, block_n=5
     return m, s, t
 
 
+def _tile_logits(q, x_t, b_t, c, scale, margin):
+    """Proxy-distance logits for one candidate tile — the exact math of
+    ``_ce_kernel`` in plain jnp, so the backward pass can recompute it
+    tile-by-tile and let autodiff produce the Möbius-algebra gradients."""
+    qq = jnp.sum(q * q, axis=1, keepdims=True)
+    xx = jnp.sum(x_t * x_t, axis=1)[None, :]
+    p = jnp.dot(q, x_t.T, preferred_element_type=jnp.float32)
+    A = 1.0 - 2.0 * c * p + c * xx
+    Bc = 1.0 - c * qq
+    D = 1.0 - 2.0 * c * p + (c * c) * qq * xx + SCORE_EPS
+    num_sq = A * A * qq - 2.0 * A * Bc * p + Bc * Bc * xx
+    max_norm = 1.0 / jnp.sqrt(c) - 2 * SCORE_EPS
+    dist_sq = jnp.minimum(jnp.maximum(num_sq, 0.0) / (D * D),
+                          max_norm * max_norm)
+    return scale * (margin - dist_sq) + b_t[None, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _streaming_nll(q, candidates, bias, target, c, scale, margin, block_n):
+    """Per-row NLL [B]: flash-softmax forward (Pallas), tile-recompute
+    backward (flash-attention-style custom VJP — the [B, N] logits never
+    hit HBM in either direction)."""
+    m, s, t = _streaming_ce_parts(q, candidates, bias, target, c, scale,
+                                  margin, block_n=block_n)
+    lse = (m + jnp.log(jnp.maximum(s, 1e-30)))[:, 0]
+    return lse - t[:, 0]
+
+
+def _streaming_nll_fwd(q, candidates, bias, target, c, scale, margin, block_n):
+    m, s, t = _streaming_ce_parts(q, candidates, bias, target, c, scale,
+                                  margin, block_n=block_n)
+    lse = (m + jnp.log(jnp.maximum(s, 1e-30)))[:, 0]
+    return lse - t[:, 0], (q, candidates, bias, target, c, scale, margin, lse)
+
+
+def _streaming_nll_bwd(block_n, res, g):
+    q, candidates, bias, target, c, scale, margin, lse = res
+    B, d = q.shape
+    N = candidates.shape[0]
+    n_pad = _round_up(N, block_n)
+    x = jnp.pad(candidates, ((0, n_pad - N), (0, 0)))
+    b = jnp.pad(bias, (0, n_pad - N), constant_values=-1e30)
+    n_tiles = n_pad // block_n
+    xt = x.reshape(n_tiles, block_n, d)
+    bt = b.reshape(n_tiles, block_n)
+
+    def step(carry, tile):
+        dq, dc, dscale, dmargin, j = carry
+        x_t, b_t = tile
+        logits, vjp = jax.vjp(
+            lambda q_, x_, b_, c_, s_, m_: _tile_logits(q_, x_, b_, c_, s_, m_),
+            q, x_t, b_t, c, scale, margin)
+        p = jnp.exp(logits - lse[:, None])
+        local = target - j * block_n
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+                  == local[:, None]).astype(logits.dtype)
+        dlogits = g[:, None] * (p - onehot)
+        dq_t, dx_t, db_t, dc_t, ds_t, dm_t = vjp(dlogits)
+        return ((dq + dq_t, dc + dc_t, dscale + ds_t, dmargin + dm_t, j + 1),
+                (dx_t, db_t))
+
+    init = (jnp.zeros_like(q), jnp.zeros_like(c), jnp.zeros_like(scale),
+            jnp.zeros_like(margin), jnp.int32(0))
+    (dq, dc, dscale, dmargin, _), (dx_tiles, db_tiles) = jax.lax.scan(
+        step, init, (xt, bt))
+    dx = dx_tiles.reshape(n_pad, d)[:N]
+    db = db_tiles.reshape(n_pad)[:N]
+    dtarget = jnp.zeros(target.shape, dtype=jax.dtypes.float0)
+    return dq, dx, db, dtarget, dc, dscale, dmargin
+
+
+_streaming_nll.defvjp(_streaming_nll_fwd, _streaming_nll_bwd)
+
+
 def streaming_dist_ce_loss(
     query: jax.Array,  # [B, d] ball points
     candidates: jax.Array,  # [N, d]
@@ -153,17 +227,18 @@ def streaming_dist_ce_loss(
 ) -> jax.Array:
     """Masked-mean CE, numerically identical to
     :func:`regcn_tpu.hyperbolic.decoders.dist_ce_loss` (proxy-distance
-    path) but with on-chip streaming logsumexp."""
+    path) but with on-chip streaming logsumexp; differentiable w.r.t.
+    query, candidates, bias, curvature, scale and margin."""
     N = candidates.shape[0]
-    bias = candidate_bias if candidate_bias is not None else jnp.zeros((N,))
+    bias = (candidate_bias if candidate_bias is not None
+            else jnp.zeros((N,), jnp.float32))
     scale = jnp.asarray(1.0 if score_scale is None else score_scale, jnp.float32)
     margin = jnp.asarray(score_margin, jnp.float32)
-    m, s, t = _streaming_ce_parts(
-        query, candidates, bias, target, jnp.asarray(c, jnp.float32),
-        scale, margin, block_n=block_n,
+    nll = _streaming_nll(
+        query.astype(jnp.float32), candidates.astype(jnp.float32),
+        bias.astype(jnp.float32), target,
+        jnp.asarray(c, jnp.float32), scale, margin, block_n,
     )
-    lse = (m + jnp.log(jnp.maximum(s, 1e-30)))[:, 0]
-    nll = lse - t[:, 0]
     if mask is None:
         return jnp.mean(nll)
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)

@@ -130,3 +130,181 @@ def sharded_rgcn_aggregate(
     out = f(h3, edges.src, edges.dst_local, edges.rel, edges.edge_mask,
             edges.in_deg_norm)
     return out.reshape(G * rows, -1)
+
+
+# ------------------------------------------------ boundary halo exchange
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class HaloPartitionedEdges:
+    """Destination-sharded edges with a BOUNDARY-SET halo.
+
+    Interior edges (source owned by the destination shard) read the local
+    rows directly; remote edges read a compact halo buffer assembled by a
+    single ``all_to_all``: owner ``g`` sends requester ``q`` exactly the
+    unique source rows q's edges need from g (``send_idx[g, q]``), padded
+    to ``halo_per_pair``. Per-shard comm volume is ``G * P * d`` rows
+    instead of the dense all-gather's ``N * d`` (ICEWS-family snapshots
+    touch a few hundred of thousands of entities, so P << rows).
+    Built host-side by :func:`partition_edges_boundary`.
+    """
+
+    int_src_local: jax.Array  # [G, Ei] local row of the source
+    int_dst_local: jax.Array  # [G, Ei]
+    int_rel: jax.Array  # [G, Ei]
+    int_mask: jax.Array  # [G, Ei]
+    rem_src_halo: jax.Array  # [G, Er] index into the [G*P] halo buffer
+    rem_dst_local: jax.Array  # [G, Er]
+    rem_rel: jax.Array  # [G, Er]
+    rem_mask: jax.Array  # [G, Er]
+    send_idx: jax.Array  # [G owners, G requesters, P] local row ids
+    in_deg_norm: jax.Array  # [G, rows_per_shard]
+    has_in_edge: jax.Array  # [G, rows_per_shard]
+    rows_per_shard: int = dataclasses.field(metadata={"static": True})
+    halo_per_pair: int = dataclasses.field(metadata={"static": True})
+
+
+def partition_edges_boundary(
+    triples: np.ndarray, num_nodes: int, num_rels: int, num_shards: int,
+    edge_bucket: int = 256, halo_bucket: int = 64,
+) -> Tuple[HaloPartitionedEdges, dict]:
+    """Host-side boundary-halo partition. Returns (edges, stats) where
+    stats records the measured boundary-set sizes vs N (the claim the
+    dense all-gather variant could never substantiate)."""
+    triples = np.asarray(triples)[:, :3].astype(np.int64)
+    s, r, o = triples[:, 0], triples[:, 1], triples[:, 2]
+    src = np.concatenate([s, o]).astype(np.int32)
+    dst = np.concatenate([o, s]).astype(np.int32)
+    rel = np.concatenate([r, r + num_rels]).astype(np.int32)
+
+    G = num_shards
+    rows = -(-num_nodes // G)
+    in_deg = np.bincount(dst, minlength=G * rows).astype(np.float32)
+    owner_src = src // rows
+    shard_of = dst // rows
+
+    int_lists, rem_lists = [], []  # per shard: (src_local/halo, dst_local, rel)
+    need_per_pair = [[np.empty(0, np.int64)] * G for _ in range(G)]
+    for q in range(G):
+        ix = np.flatnonzero(shard_of == q)
+        own = owner_src[ix] == q
+        ii = ix[own]
+        ri = ix[~own]
+        int_lists.append((src[ii] % rows, dst[ii] % rows, rel[ii]))
+        # per-owner unique needed rows + halo-local edge indices
+        halo_idx = np.zeros(len(ri), np.int64)
+        for g in range(G):
+            sel = owner_src[ri] == g
+            uniq, inv = np.unique(src[ri[sel]], return_inverse=True)
+            need_per_pair[g][q] = uniq % rows
+            halo_idx[sel] = inv  # position within (g, q)'s block; offset later
+        rem_lists.append((halo_idx, dst[ri] % rows, rel[ri], owner_src[ri]))
+
+    P = max((len(need_per_pair[g][q]) for g in range(G) for q in range(G)),
+            default=1)
+    P = max(((P + halo_bucket - 1) // halo_bucket) * halo_bucket, halo_bucket)
+    send_idx = np.zeros((G, G, P), np.int32)
+    for g in range(G):
+        for q in range(G):
+            u = need_per_pair[g][q]
+            send_idx[g, q, : len(u)] = u
+
+    def bucketed(n):
+        return max(((n + edge_bucket - 1) // edge_bucket) * edge_bucket,
+                   edge_bucket)
+
+    Ei = bucketed(max((len(t[0]) for t in int_lists), default=1))
+    Er = bucketed(max((len(t[0]) for t in rem_lists), default=1))
+
+    def pack(lists, E, cols):
+        out = [np.zeros((G, E), np.int32) for _ in range(cols)]
+        mask = np.zeros((G, E), np.float32)
+        for g, vals in enumerate(lists):
+            k = len(vals[0])
+            for c in range(cols):
+                out[c][g, :k] = vals[c]
+            mask[g, :k] = 1.0
+        return out, mask
+
+    (i_src, i_dst, i_rel), i_mask = pack(int_lists, Ei, 3)
+    rem_packed = []
+    for g, (halo_idx, dstl, relv, owners) in enumerate(rem_lists):
+        rem_packed.append((owners * P + halo_idx, dstl, relv))
+    (r_src, r_dst, r_rel), r_mask = pack(rem_packed, Er, 3)
+
+    in_deg_2d = in_deg.reshape(G, rows)
+    edges = HaloPartitionedEdges(
+        int_src_local=jnp.asarray(i_src), int_dst_local=jnp.asarray(i_dst),
+        int_rel=jnp.asarray(i_rel), int_mask=jnp.asarray(i_mask),
+        rem_src_halo=jnp.asarray(r_src), rem_dst_local=jnp.asarray(r_dst),
+        rem_rel=jnp.asarray(r_rel), rem_mask=jnp.asarray(r_mask),
+        send_idx=jnp.asarray(send_idx),
+        in_deg_norm=jnp.asarray(1.0 / np.maximum(in_deg_2d, 1.0)),
+        has_in_edge=jnp.asarray((in_deg_2d > 0).astype(np.float32)),
+        rows_per_shard=rows, halo_per_pair=P,
+    )
+    boundary_rows = sum(len(need_per_pair[g][q])
+                        for g in range(G) for q in range(G))
+    stats = {
+        "boundary_rows_total": boundary_rows,
+        "boundary_fraction_of_N": boundary_rows / max(num_nodes, 1),
+        "halo_rows_per_shard": G * P,
+        "allgather_rows_per_shard": G * rows,
+        "volume_ratio_vs_allgather": (G * P) / max(G * rows, 1),
+    }
+    return edges, stats
+
+
+def halo_rgcn_aggregate(
+    mesh: Mesh,
+    h: jax.Array,  # [G*rows, d] entity states, row-sharded over "graph"
+    rel_emb: jax.Array,  # [2R, d] replicated
+    weight: jax.Array,  # [d, d] replicated
+    edges: HaloPartitionedEdges,
+) -> jax.Array:
+    """Boundary-set halo exchange overlapped with local aggregation.
+
+    Per shard: the interior edge GEMM + scatter has no dependency on the
+    ``all_to_all``, so XLA's latency-hiding scheduler runs the collective
+    concurrently with it; only the (small) remote-edge GEMM waits on the
+    halo buffer.
+    """
+    rows = edges.rows_per_shard
+
+    def local_fn(h3, isrc, idst, irel, imask, rsrc, rdst, rrel, rmask,
+                 sidx, norm):
+        h_local = h3[0]  # [rows, d]
+        # launch the halo exchange FIRST; the interior work below is
+        # independent, so the collective overlaps with it
+        send = h_local[sidx[0]]  # [G requesters, P, d]
+        halo = jax.lax.all_to_all(
+            send, GRAPH_AXIS, split_axis=0, concat_axis=0, tiled=True)
+        msg_i = (h_local[isrc[0]] + rel_emb[irel[0]]) @ weight
+        msg_i = msg_i * imask[0][:, None]
+        agg = jax.ops.segment_sum(msg_i, idst[0], num_segments=rows)
+        halo_flat = halo.reshape(-1, h_local.shape[1])  # [G*P, d]
+        msg_r = (halo_flat[rsrc[0]] + rel_emb[rrel[0]]) @ weight
+        msg_r = msg_r * rmask[0][:, None]
+        agg = agg + jax.ops.segment_sum(msg_r, rdst[0], num_segments=rows)
+        return (agg * norm[0][:, None])[None]
+
+    g_spec = P(GRAPH_AXIS, None)
+    f = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            g_spec,  # h reshaped [G, rows, d]
+            g_spec, g_spec, g_spec, g_spec,  # interior edges
+            g_spec, g_spec, g_spec, g_spec,  # remote edges
+            P(GRAPH_AXIS, None, None),  # send_idx, owner-sharded
+            g_spec,  # in_deg_norm
+        ),
+        out_specs=g_spec,
+        check_vma=False,
+    )
+    G = mesh.shape[GRAPH_AXIS]
+    h3 = h.reshape(G, rows, -1)
+    out = f(h3, edges.int_src_local, edges.int_dst_local, edges.int_rel,
+            edges.int_mask, edges.rem_src_halo, edges.rem_dst_local,
+            edges.rem_rel, edges.rem_mask, edges.send_idx, edges.in_deg_norm)
+    return out.reshape(G * rows, -1)

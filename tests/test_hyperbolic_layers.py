@@ -83,3 +83,32 @@ def test_radius_weighting_downweights_distant_radii(rng):
     m1_g1 = np.linalg.norm(np.asarray(H.log_map_zero(out_g1, C))[3])
     m1_g0 = np.linalg.norm(np.asarray(H.log_map_zero(out_g0, C))[3])
     assert m1_g1 < m1_g0 * 0.5
+
+
+def test_union_layer_pallas_impl_matches_xla(rng, tiny_graph):
+    """impl="pallas" (MXU one-hot scatter) must match the XLA segment_sum
+    path on both the ball and tangent layer variants."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from regcn_tpu.data import build_snapshot
+    from regcn_tpu.hyperbolic import layers as L
+    from regcn_tpu.hyperbolic import ops as H
+
+    n, r, triples = tiny_graph
+    d, c = 16, 0.01
+    snap = build_snapshot(triples, n, r, edge_bucket=64)
+    h = H.exp_map_zero(jnp.asarray(rng.normal(size=(n, d)).astype("float32") * 0.3), c)
+    rel = jnp.asarray(rng.normal(size=(2 * r, d)).astype("float32") * 0.3)
+    params = L.init_hyperbolic_union_layer(jax.random.PRNGKey(0), d, self_loop=True)
+    with pltpu.force_tpu_interpret_mode():
+        out_x = L.hyperbolic_union_layer(params, h, rel, snap, c, impl="xla")
+        out_p = L.hyperbolic_union_layer(params, h, rel, snap, c, impl="pallas")
+        np.testing.assert_allclose(np.asarray(out_x), np.asarray(out_p),
+                                   rtol=1e-5, atol=1e-6)
+        v = H.log_map_zero(h, c)
+        tx = L.union_layer_tangent(params, v, rel, snap, c, impl="xla")
+        tp = L.union_layer_tangent(params, v, rel, snap, c, impl="pallas")
+        np.testing.assert_allclose(np.asarray(tx), np.asarray(tp),
+                                   rtol=1e-5, atol=1e-6)

@@ -70,3 +70,64 @@ def test_rgcn_aggregate_pallas_matches_xla(rng, tiny_graph):
     with pltpu.force_tpu_interpret_mode():
         got = rgcn_aggregate_pallas(*args)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-4, atol=1e-4)
+
+
+def test_streaming_ce_gradients_match_xla_path():
+    """The custom-VJP backward (tile-recompute) must match jax.grad of the
+    dense dist_ce_loss for every differentiable input."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from regcn_tpu.hyperbolic import decoders as D
+    from regcn_tpu.hyperbolic import ops as H
+    from regcn_tpu.ops.pallas_scoring import streaming_dist_ce_loss
+
+    rng = np.random.default_rng(3)
+    B, N, d, c = 24, 1100, 16, 0.01
+    q = H.exp_map_zero(jnp.asarray(rng.normal(size=(B, d)).astype("float32") * 0.4), c)
+    x = H.exp_map_zero(jnp.asarray(rng.normal(size=(N, d)).astype("float32") * 0.4), c)
+    tgt = jnp.asarray(rng.integers(0, N, B))
+    bias = jnp.asarray(rng.normal(size=N).astype("float32") * 0.1)
+    mask = jnp.asarray((rng.uniform(size=B) > 0.2).astype("float32"))
+
+    def dense(q, x, bias, c, scale, margin):
+        return D.dist_ce_loss(q, x, tgt, c, mask=mask, candidate_bias=bias,
+                              score_scale=scale, score_margin=margin,
+                              streaming=False)
+
+    def stream(q, x, bias, c, scale, margin):
+        return streaming_dist_ce_loss(q, x, tgt, c, mask=mask,
+                                      candidate_bias=bias, score_scale=scale,
+                                      score_margin=margin, block_n=256)
+
+    args = (q, x, bias, jnp.float32(c), jnp.float32(1.3), jnp.float32(0.7))
+    with pltpu.force_tpu_interpret_mode():
+        ld = dense(*args)
+        ls = stream(*args)
+        np.testing.assert_allclose(float(ld), float(ls), rtol=1e-5)
+        gd = jax.grad(dense, argnums=(0, 1, 2, 3, 4, 5))(*args)
+        gs = jax.grad(stream, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    for a, b in zip(gd, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_dist_ce_loss_auto_streaming_dispatch():
+    """streaming="auto" stays on the dense path off-TPU / small N / curved
+    paths; explicit True routes through the kernel."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from regcn_tpu.hyperbolic import decoders as D
+    from regcn_tpu.hyperbolic import ops as H
+
+    rng = np.random.default_rng(5)
+    B, N, d, c = 8, 600, 16, 0.01
+    q = H.exp_map_zero(jnp.asarray(rng.normal(size=(B, d)).astype("float32") * 0.4), c)
+    x = H.exp_map_zero(jnp.asarray(rng.normal(size=(N, d)).astype("float32") * 0.4), c)
+    tgt = jnp.asarray(rng.integers(0, N, B))
+    auto = D.dist_ce_loss(q, x, tgt, c)  # small N -> dense path
+    with pltpu.force_tpu_interpret_mode():
+        forced = D.dist_ce_loss(q, x, tgt, c, streaming=True)
+    np.testing.assert_allclose(float(auto), float(forced), rtol=1e-5)

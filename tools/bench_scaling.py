@@ -44,8 +44,26 @@ def _ensure_mesh():
               [sys.executable, os.path.abspath(__file__)] + sys.argv[1:], env)
 
 
-def main(num_ents=16384, num_rels=200, num_edges=131072, d=200, steps=20):
+SHAPES = [
+    # (name, N, R, directed edges) — snapshot-sparse shapes are what the
+    # framework actually aggregates per step; the dense case stresses comm
+    ("icews14s-snap", 7_128, 230, 2_048),
+    ("icews18-snap", 23_033, 256, 16_384),
+    ("dense-16k", 16_384, 200, 131_072),
+]
+
+
+def main(d=200, steps=20):
     _ensure_mesh()
+    out = {}
+    for name, n, r, e in SHAPES:
+        print(f"== {name}", flush=True)
+        out[name] = bench_shape(num_ents=n, num_rels=r, num_edges=e, d=d,
+                                steps=steps)
+    return out
+
+
+def bench_shape(num_ents, num_rels, num_edges, d=200, steps=20):
     from regcn_tpu.parallel.halo import partition_edges_by_dst, sharded_rgcn_aggregate
     from regcn_tpu.parallel.mesh import MeshAxes, make_mesh
 
@@ -59,40 +77,59 @@ def main(num_ents=16384, num_rels=200, num_edges=131072, d=200, steps=20):
     rel_emb = jnp.asarray(rng.normal(size=(2 * num_rels, d)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.05)
 
-    results = {}
+    from regcn_tpu.parallel.halo import (
+        halo_rgcn_aggregate,
+        partition_edges_boundary,
+    )
+
+    results = {"allgather": {}, "boundary": {}}
+    halo_stats = {}
     n_dev = len(jax.devices())
     for g in (1, 2, 4, 8):
         if g > n_dev:
             break
         mesh = make_mesh(MeshAxes(data=1, graph=g), devices=jax.devices()[:g])
+
+        def timed(fn, h):
+            out = fn(h)
+            float(out.sum())  # sync
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                out = fn(h)
+            float(out.sum())
+            return num_edges / ((time.perf_counter() - t0) / steps)
+
         edges = partition_edges_by_dst(triples, num_ents, num_rels, g)
-        n_pad = g * edges.rows_per_shard
-        h = jnp.asarray(rng.normal(size=(n_pad, d)).astype(np.float32))
+        h = jnp.asarray(rng.normal(
+            size=(g * edges.rows_per_shard, d)).astype(np.float32))
+        results["allgather"][g] = timed(
+            jax.jit(lambda h_, e=edges, m=mesh: sharded_rgcn_aggregate(
+                m, h_, rel_emb, w, e)), h)
 
-        f = jax.jit(lambda h_: sharded_rgcn_aggregate(mesh, h_, rel_emb, w, edges))
-        out = f(h)
-        float(out.sum())  # sync
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            out = f(h)
-        float(out.sum())
-        dt = (time.perf_counter() - t0) / steps
-        edges_per_s = num_edges / dt
-        results[g] = edges_per_s
+        bedges, stats = partition_edges_boundary(triples, num_ents, num_rels, g)
+        hb = jnp.asarray(rng.normal(
+            size=(g * bedges.rows_per_shard, d)).astype(np.float32))
+        results["boundary"][g] = timed(
+            jax.jit(lambda h_, e=bedges, m=mesh: halo_rgcn_aggregate(
+                m, h_, rel_emb, w, e)), hb)
+        halo_stats[g] = {k: round(v, 4) if isinstance(v, float) else v
+                         for k, v in stats.items()}
 
-    base = results.get(1)
     report = {
         "metric": "halo_rgcn_edges_per_s",
         "platform": str(jax.devices()[0].platform),
-        "per_shards": {
+        "halo_stats": {str(g): v for g, v in halo_stats.items()},
+    }
+    for variant, res in results.items():
+        base = res.get(1)
+        report[variant] = {
             str(g): {
                 "edges_per_s": round(v, 1),
                 "scaling_efficiency": round(v / (base * g), 3) if base else None,
             }
-            for g, v in results.items()
-        },
-    }
-    print(json.dumps(report))
+            for g, v in res.items()
+        }
+    print(json.dumps(report, indent=1))
     return report
 
 
