@@ -57,7 +57,7 @@ def hisres_union_layer(
     msg = (h[snap.src] + rel_emb[snap.rel]) @ params["w_neighbor"]
     msg = msg * snap.edge_mask[:, None]
     agg = jax.ops.segment_sum(msg, snap.dst, num_segments=n)
-    node_repr = agg * snap.in_deg_norm[:, None]
+    node_repr = agg * snap.in_deg_norm[:, None].astype(agg.dtype)
 
     edge_repr = rel_emb @ params["r_linear_w"].T + params["r_linear_b"]
 

@@ -639,6 +639,10 @@ class HisResTrainer:
 
                 save_last_checkpoint(checkpoint_path, state, epoch,
                                      best_mrr, best_epoch)
+        if checkpoint_path:
+            from regcn_tpu.train.state import wait_for_checkpoints
+
+            wait_for_checkpoints()  # commit in-flight async saves
         return best_state, {"best_valid_mrr_raw": best_mrr}
 
     def test(self, state, multi_step: bool = False, topk: int = 10,

@@ -103,7 +103,7 @@ def hyperbolic_union_layer(
     rw = jnp.exp(-radius_gamma * jnp.abs(radius[snap.src] - radius[snap.dst]))
     msg = msg * (rw * snap.edge_mask)[:, None]
     agg = _agg_scatter(msg, snap, n, impl)
-    h_new = agg * snap.in_deg_norm[:, None]
+    h_new = agg * snap.in_deg_norm[:, None].astype(agg.dtype)
     h_new = jnp.clip(h_new, -CLAMP, CLAMP)
 
     if "loop_w" in params:
@@ -152,7 +152,7 @@ def union_layer_tangent(
     rw = jnp.exp(-radius_gamma * jnp.abs(radius[snap.src] - radius[snap.dst]))
     msg = msg * (rw * snap.edge_mask)[:, None]
     agg = _agg_scatter(msg, snap, n, impl)
-    h_new = agg * snap.in_deg_norm[:, None]
+    h_new = agg * snap.in_deg_norm[:, None].astype(agg.dtype)
     h_new = jnp.clip(h_new, -CLAMP, CLAMP)
 
     if "loop_w" in params:

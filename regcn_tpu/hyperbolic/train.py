@@ -740,6 +740,10 @@ class HyperbolicTrainer:
             if bad_epochs >= patience:
                 log.info("early stop at epoch %d (patience %d)", epoch, patience)
                 break
+        if checkpoint_path:
+            from regcn_tpu.train.state import wait_for_checkpoints
+
+            wait_for_checkpoints()  # commit in-flight async saves
         return best_state, {"best_valid_mrr_raw": best_mrr, "history": history_rows}
 
     def test(self, state):

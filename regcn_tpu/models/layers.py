@@ -162,7 +162,7 @@ def rgcn_block_layer(
     h_src = h[snap.src].reshape(-1, n_bases, sub)
     msg = jnp.einsum("ebi,ebio->ebo", h_src, w_e).reshape(-1, d)
     agg = masked_segment_sum(msg, snap.dst, snap.edge_mask, n)
-    agg = agg * snap.in_deg_norm[:, None]
+    agg = agg * snap.in_deg_norm[:, None].astype(agg.dtype)
     agg = rrelu(agg, None, train=False)  # F.rrelu default training=False
     if train and dropout > 0.0 and rng is not None:
         k = jax.random.fold_in(rng, 1)
@@ -260,7 +260,7 @@ def rgcn_basis_layer(
         else:
             msg = proj[snap.rel, snap.src]
     agg = masked_segment_sum(msg, snap.dst, snap.edge_mask, n)
-    agg = agg * snap.in_deg_norm[:, None]
+    agg = agg * snap.in_deg_norm[:, None].astype(agg.dtype)
     if "bias" in params:
         agg = agg + params["bias"]
     if activation is not None:

@@ -58,13 +58,34 @@ def create_train_state(
     )
 
 
+_ASYNC_CKPTR = None
+
+
+def _async_ckptr():
+    """Process-wide async checkpointer: device->host copy is synchronous
+    (safe with donated states), disk writes happen in the background —
+    per-epoch checkpointing costs ~0 instead of a blocking orbax save."""
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_checkpoints():
+    """Block until every in-flight async save is committed."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_checkpoint(path: str, state: TrainState, meta: Dict[str, Any] | None = None):
     import json
 
-    import orbax.checkpoint as ocp
-
     path = os.path.abspath(path)
-    ckptr = ocp.PyTreeCheckpointer()
+    ckptr = _async_ckptr()
+    # one in-flight save at a time keeps the commit order = call order
+    ckptr.wait_until_finished()
     ckptr.save(os.path.join(path, "state"), state, force=True)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta or {}, f)
@@ -75,6 +96,7 @@ def restore_checkpoint(path: str, template: TrainState):
 
     import orbax.checkpoint as ocp
 
+    wait_for_checkpoints()
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
     state = ckptr.restore(os.path.join(path, "state"), item=template)

@@ -53,3 +53,33 @@ def test_static_loss_active_and_finite(rng):
     # eval works with static graph
     stats = trainer.evaluate(state2, trainer.train_list, trainer.valid_list)
     assert np.isfinite(stats["ent_raw"].mrr)
+
+
+def test_static_graph_bf16_carry_dtype():
+    """Regression: with use_static, the fp32 in_deg_norm of the (un-cast)
+    static snapshot promoted the whole evolution to fp32 under bf16
+    compute, breaking the scan-carry dtype."""
+    import jax
+    import numpy as np
+
+    from regcn_tpu.config import ExperimentConfig, ModelConfig, TrainConfig
+    from regcn_tpu.data.synthetic import generate
+    from regcn_tpu.train.loop import Trainer
+    from regcn_tpu.train.state import create_train_state
+
+    data = generate("synthetic-small", seed=11, num_ents=50, num_rels=4,
+                    num_snaps=8, triples_per_snap=30, split=(6, 1, 1),
+                    with_static=True)
+    cfg = ExperimentConfig(
+        model=ModelConfig(num_ents=data.num_nodes, num_rels=data.num_rels,
+                          h_dim=16, n_layers=1, use_static=True,
+                          num_static_rels=data.num_static_rels,
+                          num_words=data.num_words, dtype="bfloat16",
+                          n_bases=8),
+        train=TrainConfig(train_history_len=2, test_history_len=2,
+                          edge_bucket=32, rc_bucket=32, triple_bucket=32))
+    tr = Trainer(cfg, data)
+    st = create_train_state(jax.random.PRNGKey(0), cfg.model, cfg.train)
+    st, losses = tr.run_epoch_fused(st, 0)  # raised a scan dtype error before
+    assert np.isfinite(losses["entity"])
+    assert np.isfinite(losses["static"])
