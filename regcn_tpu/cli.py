@@ -426,24 +426,31 @@ def run_grid(args):
 
     combos = list(itertools.product(*[table[k] for k in keys]))
     logging.info("grid search over %s: %d combos -> %s", keys, len(combos), out_log)
-    with open(out_log, "w") as f:
-        family_runner = {"regcn": run_single, "hyperbolic": run_hyperbolic,
-                         "hisres": run_hisres}[args.grid_family]
-        for combo in combos:
-            for k, v in zip(keys, combo):
-                setattr(args, k, v)
-            # model_name() omits several sweepable keys (n_hidden, lr,
-            # seed, ...); give every combo its own checkpoint path so
-            # combos never share/restore each other's state
-            combo_tag = "-".join(f"{k}={v}" for k, v in zip(keys, combo))
-            args.checkpoint = os.path.join(
-                args.models_dir, f"grid-{args.grid_family}",
-                f"{model_name(args)}-{combo_tag}")
-            r = family_runner(args)
-            row = {"params": dict(zip(keys, combo)), "test_ent_mrr_raw": r["ent_raw"]["mrr"]}
-            results.append(row)
-            f.write(json.dumps(row) + "\n")
-            f.flush()
+    # model_name() omits several sweepable keys (n_hidden, lr, seed, ...);
+    # give every combo its own checkpoint path so combos never
+    # share/restore each other's state. A user-supplied --checkpoint
+    # becomes the parent dir of the per-combo paths and is restored after
+    # the sweep.
+    user_checkpoint = args.checkpoint
+    ckpt_root = user_checkpoint or os.path.join(
+        args.models_dir, f"grid-{args.grid_family}")
+    try:
+        with open(out_log, "w") as f:
+            family_runner = {"regcn": run_single, "hyperbolic": run_hyperbolic,
+                             "hisres": run_hisres}[args.grid_family]
+            for combo in combos:
+                for k, v in zip(keys, combo):
+                    setattr(args, k, v)
+                combo_tag = "-".join(f"{k}={v}" for k, v in zip(keys, combo))
+                args.checkpoint = os.path.join(
+                    ckpt_root, f"{model_name(args)}-{combo_tag}")
+                r = family_runner(args)
+                row = {"params": dict(zip(keys, combo)), "test_ent_mrr_raw": r["ent_raw"]["mrr"]}
+                results.append(row)
+                f.write(json.dumps(row) + "\n")
+                f.flush()
+    finally:
+        args.checkpoint = user_checkpoint
     best = max(results, key=lambda r: r["test_ent_mrr_raw"])
     logging.info("best: %s", best)
     return results

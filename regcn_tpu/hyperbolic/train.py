@@ -498,11 +498,15 @@ class HyperbolicTrainer:
             history = self._history(self.train_list[lo:i], cache_key=(lo, i))
             triples, mask = pad_triples(self.train_list[i], self.num_rels, tc.triple_bucket)
             rb = self._retrieval(triples, mask, i)
+            chunked = bool(self.triple_batch_size) and len(triples) > self.triple_batch_size
             tans = None
-            if cfg.use_time_aware_negative and self.true_tails is not None:
+            # the chunked branch recomputes its own per-chunk tans masks,
+            # so skip the (host-side, all-triples) computation there
+            if (cfg.use_time_aware_negative and self.true_tails is not None
+                    and not chunked):
                 tans = est_mod.tans_mask_coo(triples, mask, self.true_tails)
                 tans = (jnp.asarray(tans[0]), jnp.asarray(tans[1]))
-            if self.triple_batch_size and len(triples) > self.triple_batch_size:
+            if chunked:
                 # snapshot-inner mini-batching (ref :572-628). Default mode
                 # "accumulate" is reference parity: grads SUM across chunks
                 # (each chunk's loss is its own mean — no rescaling), clip

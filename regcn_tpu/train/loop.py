@@ -442,11 +442,14 @@ class Trainer:
                         from regcn_tpu.train.state import save_checkpoint
 
                         save_checkpoint(checkpoint_path, state, {"epoch": epoch, "mrr": mrr})
-                if checkpoint_path:
-                    from regcn_tpu.train.state import save_last_checkpoint
+            # outside the eval block: the 'last' sidecar is per-epoch even
+            # with evaluate_every > 1 (matching the other two trainers), so
+            # resume never re-runs up to evaluate_every-1 epochs
+            if checkpoint_path:
+                from regcn_tpu.train.state import save_last_checkpoint
 
-                    save_last_checkpoint(checkpoint_path, state, epoch,
-                                         best_mrr, best_epoch)
+                save_last_checkpoint(checkpoint_path, state, epoch,
+                                     best_mrr, best_epoch)
         if checkpoint_path:
             from regcn_tpu.train.state import wait_for_checkpoints
 

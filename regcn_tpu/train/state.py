@@ -59,6 +59,9 @@ def create_train_state(
 
 
 _ASYNC_CKPTR = None
+# meta.json promotions deferred until the matching async state save has
+# committed: list of (tmp_path, final_path)
+_PENDING_META = []
 
 
 def _async_ckptr():
@@ -73,22 +76,52 @@ def _async_ckptr():
     return _ASYNC_CKPTR
 
 
+def _promote_pending_meta():
+    """Atomically rename meta.json.tmp -> meta.json for every save whose
+    state commit has finished (callers invoke this only after
+    ``wait_until_finished``)."""
+    while _PENDING_META:
+        tmp, final = _PENDING_META.pop(0)
+        if os.path.exists(tmp):
+            os.replace(tmp, final)
+
+
 def wait_for_checkpoints():
-    """Block until every in-flight async save is committed."""
+    """Block until every in-flight async save is committed (and its
+    meta.json promoted)."""
     if _ASYNC_CKPTR is not None:
         _ASYNC_CKPTR.wait_until_finished()
+    _promote_pending_meta()
 
 
 def save_checkpoint(path: str, state: TrainState, meta: Dict[str, Any] | None = None):
+    """Async checkpoint with crash-consistent metadata.
+
+    meta.json is promoted (atomic rename from meta.json.tmp) only AFTER
+    the orbax state save it describes has committed, so a crash during
+    the in-flight window can never leave a meta.json that points at a
+    missing or torn state dir. Orbax itself commits via
+    write-to-tmp-then-rename, so ``<path>/state`` existing implies a
+    complete state; the worst crash outcome is a stale meta.json one
+    epoch behind the committed state (resume then conservatively re-runs
+    one epoch). ``has_resumable_checkpoint``/``restore_for_resume``
+    additionally verify the state dir exists, falling back to the
+    best-root checkpoint otherwise.
+    """
     import json
 
     path = os.path.abspath(path)
     ckptr = _async_ckptr()
-    # one in-flight save at a time keeps the commit order = call order
+    # one in-flight save at a time keeps the commit order = call order;
+    # the previous save is now committed, so its meta can be promoted
     ckptr.wait_until_finished()
+    _promote_pending_meta()
     ckptr.save(os.path.join(path, "state"), state, force=True)
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    meta_final = os.path.join(path, "meta.json")
+    meta_tmp = meta_final + ".tmp"
+    with open(meta_tmp, "w") as f:
         json.dump(meta or {}, f)
+    _PENDING_META.append((meta_tmp, meta_final))
 
 
 def restore_checkpoint(path: str, template: TrainState):
@@ -128,7 +161,7 @@ def restore_for_resume(path: str, template):
     per-epoch ``<path>/last`` checkpoint; falls back to the best-only root
     layout (older checkpoints), where last==best by construction."""
     last = os.path.join(path, "last")
-    if os.path.exists(os.path.join(last, "meta.json")):
+    if _complete_checkpoint(last):
         state, meta = restore_checkpoint(last, template)
         return (state, int(meta["epoch"]) + 1,
                 float(meta.get("best_mrr", 0.0)),
@@ -138,10 +171,17 @@ def restore_for_resume(path: str, template):
     return state, ep + 1, float(meta.get("mrr", 0.0)), ep
 
 
+def _complete_checkpoint(path: str) -> bool:
+    """meta.json AND a committed orbax state dir (orbax renames its tmp
+    dir into place only on commit, so existence implies completeness)."""
+    return (os.path.exists(os.path.join(path, "meta.json"))
+            and os.path.isdir(os.path.join(path, "state")))
+
+
 def has_resumable_checkpoint(path) -> bool:
     return bool(path) and (
-        os.path.exists(os.path.join(path, "meta.json"))
-        or os.path.exists(os.path.join(path, "last", "meta.json")))
+        _complete_checkpoint(path)
+        or _complete_checkpoint(os.path.join(path, "last")))
 
 
 def copy_state(state):
