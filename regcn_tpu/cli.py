@@ -125,6 +125,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--run-analysis", action="store_true", default=False)
     p.add_argument("--impl", default="xla", choices=["xla", "pallas"])
 
+    # multi-chip (train / hyperbolic / hisres modes)
+    p.add_argument("--shards", type=int, default=None,
+                   help="graph-axis mesh size: shard entity tables, "
+                        "optimizer moments and the decoder candidate axis "
+                        "over this many devices (requires that many "
+                        "visible JAX devices; on a single-chip host use "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count"
+                        "=N JAX_PLATFORMS=cpu to validate)")
+    p.add_argument("--dist-agg", default="gspmd", choices=["gspmd", "halo"],
+                   help="cross-shard RGCN aggregation: 'gspmd' lets XLA "
+                        "insert all-gathers from sharding annotations; "
+                        "'halo' runs the explicit shard_map boundary-set "
+                        "exchange (parallel/halo.py)")
+
     # hyperbolic model flags (parity: ref hyperbolic_main.py:708-845)
     hp = p.add_argument_group("hyperbolic")
     hp.add_argument("--curvature", type=float, default=0.01)
@@ -173,6 +187,25 @@ def build_parser() -> argparse.ArgumentParser:
     hr = p.add_argument_group("hisres")
     hr.add_argument("--history-rate", type=float, default=0.3)
     return p
+
+
+def make_cli_mesh(args):
+    """Build the ('data', 'graph') mesh for --shards, or None."""
+    if not args.shards:
+        if args.dist_agg != "gspmd":
+            raise SystemExit("--dist-agg requires --shards")
+        return None
+    from regcn_tpu.parallel.mesh import MeshAxes, make_mesh
+
+    devices = jax.devices()
+    if len(devices) < args.shards:
+        raise SystemExit(
+            f"--shards {args.shards} needs that many JAX devices, have "
+            f"{len(devices)} ({devices[0].platform}). On a single-chip "
+            f"host, validate with JAX_PLATFORMS=cpu XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={args.shards}")
+    return make_mesh(MeshAxes(data=1, graph=args.shards),
+                     devices=devices[: args.shards])
 
 
 def make_hyperbolic_configs(args, data):
@@ -230,6 +263,7 @@ def run_hyperbolic(args) -> dict:
         cfg, tc, data, triple_batch_size=args.triple_batch_size,
         triple_batch_mode=args.triple_batch_mode,
         curvature_warmup_epochs=args.curvature_warmup_epochs,
+        mesh=make_cli_mesh(args), dist_agg=args.dist_agg,
     )
     ckpt = args.checkpoint or os.path.join(args.models_dir, "hyp-" + model_name(args))
     best, info = trainer.fit(patience=args.patience, checkpoint_path=ckpt,
@@ -269,7 +303,8 @@ def run_hisres(args) -> dict:
         train_history_len=args.train_history_len,
         test_history_len=args.test_history_len, seed=args.seed,
     )
-    trainer = HisResTrainer(cfg, tc, data)
+    trainer = HisResTrainer(cfg, tc, data, mesh=make_cli_mesh(args),
+                            dist_agg=args.dist_agg)
     ckpt = args.checkpoint or os.path.join(args.models_dir, "hisres-" + model_name(args))
     best, info = trainer.fit(checkpoint_path=ckpt, resume=args.resume)
     logging.info("best valid MRR (raw): %.4f", info["best_valid_mrr_raw"])
@@ -346,7 +381,8 @@ def run_single(args) -> dict:
 
     data = load_data(args.dataset, args.data_dir, load_static=args.add_static_graph)
     cfg = make_experiment(args, data)
-    trainer = Trainer(cfg, data, impl=args.impl)
+    trainer = Trainer(cfg, data, impl=args.impl, mesh=make_cli_mesh(args),
+                      dist_agg=args.dist_agg)
     ckpt = args.checkpoint or os.path.join(args.models_dir, model_name(args))
 
     if args.mode == "test":

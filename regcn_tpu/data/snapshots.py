@@ -55,6 +55,10 @@ class Snapshot:
     rc_mask: np.ndarray  # [M] float32 {0,1}
     num_edges: int = dataclasses.field(metadata={"static": True})  # unpadded edges
     num_triples: int = dataclasses.field(metadata={"static": True})  # unpadded triples
+    # optional boundary-halo partition of the same edges (a
+    # parallel.halo.HaloPartitionedEdges pytree) for shard_map
+    # aggregation under a device mesh; None on the single-chip path
+    halo: object = None
 
 
 # A "SnapshotBatch" is a Snapshot whose fields carry a leading time axis

@@ -18,6 +18,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from regcn_tpu.dist import HaloImpl
 from regcn_tpu.models.decoders import _batch_norm, _init_bn
 from regcn_tpu.ops.activations import rrelu
 from regcn_tpu.ops.segment import segment_softmax
@@ -52,12 +53,23 @@ def hisres_union_layer(
     dropout: float = 0.0,
     rng=None,
     train: bool = False,
+    impl: str = "xla",
 ) -> Tuple[jax.Array, jax.Array]:
     n = h.shape[0]
-    msg = (h[snap.src] + rel_emb[snap.rel]) @ params["w_neighbor"]
-    msg = msg * snap.edge_mask[:, None]
-    agg = jax.ops.segment_sum(msg, snap.dst, num_segments=n)
-    node_repr = agg * snap.in_deg_norm[:, None].astype(agg.dtype)
+    if isinstance(impl, HaloImpl):
+        if snap.halo is None:
+            raise ValueError(
+                "impl is HaloImpl but the snapshot carries no halo "
+                "partition; build the store with halo_shards=mesh size")
+        from regcn_tpu.parallel.halo import halo_rgcn_aggregate
+
+        node_repr = halo_rgcn_aggregate(
+            impl.mesh, h, rel_emb, params["w_neighbor"], snap.halo)
+    else:
+        msg = (h[snap.src] + rel_emb[snap.rel]) @ params["w_neighbor"]
+        msg = msg * snap.edge_mask[:, None]
+        agg = jax.ops.segment_sum(msg, snap.dst, num_segments=n)
+        node_repr = agg * snap.in_deg_norm[:, None].astype(agg.dtype)
 
     edge_repr = rel_emb @ params["r_linear_w"].T + params["r_linear_b"]
 
@@ -94,13 +106,15 @@ def init_hisres_rgcn_cell(rng, h_dim, n_layers, self_loop=True, skip_connect=Fal
     }
 
 
-def hisres_rgcn_cell(params, h, rel_emb, snap, *, dropout=0.0, rng=None, train=False):
+def hisres_rgcn_cell(params, h, rel_emb, snap, *, dropout=0.0, rng=None,
+                     train=False, impl="xla"):
     """Threads the evolving relation embedding through the layer stack
     (ref:hisres_src/hisres.py:33-41): x, r = layer(g, [], r)."""
     x, r = h, rel_emb
     for i, lp in enumerate(params["layers"]):
         k = jax.random.fold_in(rng, i) if rng is not None else None
-        x, r = hisres_union_layer(lp, x, r, snap, dropout=dropout, rng=k, train=train)
+        x, r = hisres_union_layer(lp, x, r, snap, dropout=dropout, rng=k,
+                                  train=train, impl=impl)
     return x, r
 
 

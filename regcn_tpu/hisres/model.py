@@ -65,6 +65,11 @@ class HisResConfig:
     # bfloat16 activations/weights on the compute path; parameters,
     # optimizer, BN statistics and CE reductions stay fp32
     compute_dtype: str = "float32"
+    # aggregation backend for the two recurrent streams: "xla" or a
+    # dist.HaloImpl (boundary-halo shard_map over a mesh). The candidate
+    # cells stay on the dense path either way (their query-conditioned
+    # graphs are gathered per batch, not entity-partitioned).
+    impl: Any = "xla"
 
     @property
     def num_rels_total(self) -> int:
@@ -171,7 +176,8 @@ def _stream(params, cfg, history, h_init, prefix: str, time_encode: bool,
         h0 = jnp.where(started > 0, h0, h0_init)
 
         cur_h, cur_r = HLayers.hisres_rgcn_cell(
-            rgcn, h, h0, snap, dropout=cfg.dropout, rng=k, train=train
+            rgcn, h, h0, snap, dropout=cfg.dropout, rng=k, train=train,
+            impl=cfg.impl,
         )
         h_new = gru_cell(ent_cell, cur_h, h)
         if cfg.layer_norm:

@@ -79,13 +79,27 @@ def union_snapshots(input_list: List[np.ndarray]) -> List[np.ndarray]:
 class HisResTrainer:
     def __init__(self, cfg: HisResConfig, tc: TrainConfig, data: TKGData,
                  his_edge_bucket: int = 4096, his_max_edges: Optional[int] = 65536,
-                 mesh=None):
+                 mesh=None, dist_agg: str = "gspmd"):
+        if dist_agg not in ("gspmd", "halo"):
+            raise ValueError(f"dist_agg must be 'gspmd' or 'halo', got {dist_agg!r}")
+        if dist_agg == "halo":
+            if mesh is None:
+                raise ValueError("dist_agg='halo' requires a mesh")
+            # boundary-halo shard_map aggregation for BOTH recurrent
+            # streams (per-snapshot + union-graph); the candidate cells
+            # stay on the dense path (see HisResConfig.impl)
+            import dataclasses as _dc
+
+            from regcn_tpu.dist import HaloImpl
+
+            cfg = _dc.replace(cfg, impl=HaloImpl(mesh))
         self.cfg = cfg
         self.tc = tc
         self.data = data
         # optional jax.sharding.Mesh: entity tables/moments row-sharded
         # over the graph axis (GSPMD), same rules as parallel/sharding.py
         self.mesh = mesh
+        self.dist_agg = dist_agg
         if mesh is not None:
             from regcn_tpu.parallel.mesh import check_entity_divisibility
 
@@ -343,6 +357,7 @@ class HisResTrainer:
             self.train_list, self.num_nodes, self.num_rels,
             edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
             triple_bucket=tc.triple_bucket, pad_front=hlen,
+            halo_shards=self._halo_shards(),
         )
         if hlen > 1:
             gg_full = union_snapshots(self.train_list)
@@ -350,6 +365,7 @@ class HisResTrainer:
                 gg_full, self.num_nodes, self.num_rels,
                 edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
                 triple_bucket=tc.triple_bucket, pad_front=0,
+                halo_shards=self._halo_shards(),
             )
         else:
             self._gg_store = self._g_store
@@ -377,12 +393,28 @@ class HisResTrainer:
         return state
 
     # ------------------------------------------------------------------ data
+    def _halo_shards(self):
+        if self.mesh is not None and self.dist_agg == "halo":
+            from regcn_tpu.parallel.mesh import GRAPH_AXIS
+
+            return self.mesh.shape[GRAPH_AXIS]
+        return None
+
     def _history(self, snaps, key=None):
         cache_key = ("h",) + key if key is not None else None
         if cache_key and cache_key in self._history_cache:
             return self._history_cache[cache_key]
         h = build_history(list(snaps), self.num_nodes, self.num_rels,
                           edge_bucket=self.tc.edge_bucket, rc_bucket=self.tc.rc_bucket)
+        G = self._halo_shards()
+        if G:
+            import dataclasses as _dc
+
+            from regcn_tpu.parallel.halo import build_halo_store
+
+            halo, _ = build_halo_store(list(snaps), self.num_nodes,
+                                       self.num_rels, G)
+            h = _dc.replace(h, halo=halo)
         if cache_key:
             self._history_cache[cache_key] = h
         return h
@@ -461,6 +493,7 @@ class HisResTrainer:
                 history_list, eval_list, self.num_nodes, self.num_rels, hlen,
                 edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
                 triple_bucket=tc.triple_bucket,
+                halo_shards=self._halo_shards(),
             )
             if hlen > 1:
                 tail = list(history_list[-hlen:])
@@ -474,8 +507,17 @@ class HisResTrainer:
                     gg_seq, self.num_nodes, self.num_rels,
                     edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
                     triple_bucket=tc.triple_bucket, pad_front=0,
+                    halo_shards=self._halo_shards(),
                 )
             else:
+                gg_store = None  # alias of g_store; resolved after sharding
+            if self.mesh is not None:
+                from regcn_tpu.parallel.sharding import shard_snapshot_store
+
+                g_store = shard_snapshot_store(g_store, self.mesh)
+                if gg_store is not None:
+                    gg_store = shard_snapshot_store(gg_store, self.mesh)
+            if gg_store is None:
                 gg_store = g_store
             his = self._build_his_store(
                 list(eval_list),

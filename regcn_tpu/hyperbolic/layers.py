@@ -27,6 +27,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
+from regcn_tpu.dist import HaloImpl
 from regcn_tpu.hyperbolic import ops as H
 from regcn_tpu.ops.activations import rrelu
 from regcn_tpu.ops.segment import segment_softmax
@@ -65,6 +66,26 @@ def init_hyperbolic_union_layer(rng, h_dim, self_loop=True, skip_connect=False) 
 
 
 
+def _halo_aggregate(impl, params, v, rel_emb, snap, c, radius_gamma):
+    """Boundary-halo shard_map aggregation of the radius-weighted union
+    message (tangent-space rows). The per-edge radius weight
+    ``exp(-gamma |r_src - r_dst|)`` is computed from per-ROW radii of the
+    local + halo buffers (ref:hyperbolic_layers.py:229-236 semantics;
+    the reference gathers per-edge, here it is O(rows) scalars)."""
+    if snap.halo is None:
+        raise ValueError(
+            "impl is HaloImpl but the snapshot carries no halo partition; "
+            "build the store with halo_shards=mesh size")
+    from regcn_tpu.parallel.halo import halo_rgcn_aggregate
+
+    return halo_rgcn_aggregate(
+        impl.mesh, v, rel_emb, params["w_neighbor"], snap.halo,
+        row_scalar_fn=lambda rows: H.radius_from_tangent(rows, c),
+        edge_weight_fn=lambda rs, rd: jnp.exp(
+            -radius_gamma * jnp.abs(rs - rd)),
+    )
+
+
 def _agg_scatter(msg, snap, n, impl):
     """Masked-edge scatter-sum: XLA segment_sum or the Pallas MXU kernel
     (ops/pallas_rgcn.py; edges destination-sorted on device)."""
@@ -97,13 +118,17 @@ def hyperbolic_union_layer(
 ) -> jax.Array:
     n = h_hyper.shape[0]
     h_tan = H.log_map_zero(h_hyper, c)
-    radius = H.get_radius(h_hyper)
 
-    msg = (h_tan[snap.src] + rel_emb[snap.rel]) @ params["w_neighbor"]
-    rw = jnp.exp(-radius_gamma * jnp.abs(radius[snap.src] - radius[snap.dst]))
-    msg = msg * (rw * snap.edge_mask)[:, None]
-    agg = _agg_scatter(msg, snap, n, impl)
-    h_new = agg * snap.in_deg_norm[:, None].astype(agg.dtype)
+    if isinstance(impl, HaloImpl):
+        h_new = _halo_aggregate(impl, params, h_tan, rel_emb, snap, c,
+                                radius_gamma)
+    else:
+        radius = H.get_radius(h_hyper)
+        msg = (h_tan[snap.src] + rel_emb[snap.rel]) @ params["w_neighbor"]
+        rw = jnp.exp(-radius_gamma * jnp.abs(radius[snap.src] - radius[snap.dst]))
+        msg = msg * (rw * snap.edge_mask)[:, None]
+        agg = _agg_scatter(msg, snap, n, impl)
+        h_new = agg * snap.in_deg_norm[:, None].astype(agg.dtype)
     h_new = jnp.clip(h_new, -CLAMP, CLAMP)
 
     if "loop_w" in params:
@@ -146,13 +171,16 @@ def union_layer_tangent(
     which reproduces the exp -> project -> log composition exactly.
     """
     n = v.shape[0]
-    radius = H.radius_from_tangent(v, c)
-
-    msg = (v[snap.src] + rel_emb[snap.rel]) @ params["w_neighbor"]
-    rw = jnp.exp(-radius_gamma * jnp.abs(radius[snap.src] - radius[snap.dst]))
-    msg = msg * (rw * snap.edge_mask)[:, None]
-    agg = _agg_scatter(msg, snap, n, impl)
-    h_new = agg * snap.in_deg_norm[:, None].astype(agg.dtype)
+    if isinstance(impl, HaloImpl):
+        h_new = _halo_aggregate(impl, params, v, rel_emb, snap, c,
+                                radius_gamma)
+    else:
+        radius = H.radius_from_tangent(v, c)
+        msg = (v[snap.src] + rel_emb[snap.rel]) @ params["w_neighbor"]
+        rw = jnp.exp(-radius_gamma * jnp.abs(radius[snap.src] - radius[snap.dst]))
+        msg = msg * (rw * snap.edge_mask)[:, None]
+        agg = _agg_scatter(msg, snap, n, impl)
+        h_new = agg * snap.in_deg_norm[:, None].astype(agg.dtype)
     h_new = jnp.clip(h_new, -CLAMP, CLAMP)
 
     if "loop_w" in params:
@@ -448,6 +476,12 @@ def encoder_cell(
     train: bool = False,
     impl: str = "xla",
 ) -> jax.Array:
+    if isinstance(impl, HaloImpl) and encoder != "hyperbolic_uvrgcn":
+        raise ValueError(
+            f"boundary-halo aggregation (dist_agg='halo') supports the "
+            f"'hyperbolic_uvrgcn' encoder only; {encoder!r} aggregates "
+            f"via Einstein midpoint / Lorentz centroid / attention — use "
+            f"dist_agg='gspmd' (XLA-inserted collectives) for it")
     x = h_hyper
     prev = None
     for i, lp in enumerate(params["layers"]):

@@ -108,12 +108,35 @@ class HyperbolicTrainer:
         triple_batch_mode: str = "accumulate",
         curvature_warmup_epochs: int = 0,
         mesh=None,
+        dist_agg: str = "gspmd",
     ):
         if triple_batch_mode not in ("accumulate", "per_chunk"):
             raise ValueError(
                 f"triple_batch_mode must be 'accumulate' (reference parity, "
                 f"ref:hyperbolic_main.py:572-628) or 'per_chunk', got "
                 f"{triple_batch_mode!r}")
+        if dist_agg not in ("gspmd", "halo"):
+            raise ValueError(f"dist_agg must be 'gspmd' or 'halo', got {dist_agg!r}")
+        if dist_agg == "halo":
+            if mesh is None:
+                raise ValueError("dist_agg='halo' requires a mesh")
+            if triple_batch_size:
+                raise ValueError(
+                    "dist_agg='halo' runs the fused-epoch path only; "
+                    "triple_batch_size chunking is not supported with it")
+            if cfg.encoder != "hyperbolic_uvrgcn":
+                raise ValueError(
+                    f"boundary-halo aggregation (dist_agg='halo') supports "
+                    f"the 'hyperbolic_uvrgcn' encoder only; "
+                    f"{cfg.encoder!r} aggregates via Einstein midpoint / "
+                    f"Lorentz centroid / attention — use dist_agg='gspmd' "
+                    f"for it")
+            # thread the halo marker through cfg.impl: every encoder-cell
+            # call dispatches on it (hyperbolic/layers.py); non-uvrgcn
+            # encoders reject it loudly in encoder_cell
+            from regcn_tpu.dist import HaloImpl
+
+            cfg = dataclasses.replace(cfg, impl=HaloImpl(mesh))
         self.cfg = cfg
         self.tc = tc
         self.data = data
@@ -123,6 +146,7 @@ class HyperbolicTrainer:
         # optional jax.sharding.Mesh: entity tables/moments row-sharded
         # over the graph axis (GSPMD), same rules as parallel/sharding.py
         self.mesh = mesh
+        self.dist_agg = dist_agg
         if mesh is not None:
             from regcn_tpu.parallel.mesh import check_entity_divisibility
 
@@ -404,11 +428,25 @@ class HyperbolicTrainer:
         return state
 
     # ------------------------------------------------------------------ data
+    def _halo_shards(self):
+        if self.mesh is not None and self.dist_agg == "halo":
+            from regcn_tpu.parallel.mesh import GRAPH_AXIS
+
+            return self.mesh.shape[GRAPH_AXIS]
+        return None
+
     def _history(self, snaps, cache_key=None):
         if cache_key is not None and cache_key in self._history_cache:
             return self._history_cache[cache_key]
         h = build_history(list(snaps), self.num_nodes, self.num_rels,
                           edge_bucket=self.tc.edge_bucket, rc_bucket=self.tc.rc_bucket)
+        G = self._halo_shards()
+        if G:
+            from regcn_tpu.parallel.halo import build_halo_store
+
+            halo, _ = build_halo_store(list(snaps), self.num_nodes,
+                                       self.num_rels, G)
+            h = dataclasses.replace(h, halo=halo)
         if cache_key is not None:
             self._history_cache[cache_key] = h
         return h
@@ -565,6 +603,7 @@ class HyperbolicTrainer:
                     self.train_list, self.num_nodes, self.num_rels,
                     edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
                     triple_bucket=tc.triple_bucket, pad_front=hlen,
+                    halo_shards=self._halo_shards(),
                 )
                 if self.mesh is not None:
                     from regcn_tpu.parallel.sharding import shard_snapshot_store
@@ -602,7 +641,12 @@ class HyperbolicTrainer:
                 history_list, eval_list, self.num_nodes, self.num_rels, hlen,
                 edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
                 triple_bucket=tc.triple_bucket,
+                halo_shards=self._halo_shards(),
             )
+            if self.mesh is not None:
+                from regcn_tpu.parallel.sharding import shard_snapshot_store
+
+                store = shard_snapshot_store(store, self.mesh)
             er, ec = stack_eval_filters(ent_filters, eval_list, self.num_rels,
                                         tc.triple_bucket, rel_mode=False)
             rr, rc = stack_eval_filters(rel_filters, eval_list, self.num_rels,
@@ -627,6 +671,11 @@ class HyperbolicTrainer:
     def evaluate(self, state, history_list, eval_list, ent_filters=None,
                  rel_filters=None, time_offset: int = 0,
                  multi_step: bool = False, topk: int = 10, cache_key=None):
+        if multi_step and self.dist_agg == "halo":
+            raise ValueError(
+                "multi-step inference rebuilds history from predictions "
+                "per step (host loop) and is not supported under "
+                "dist_agg='halo'; use dist_agg='gspmd' mesh mode for it")
         if not multi_step and self.eval_fn is not None:
             return self.evaluate_fused(state, history_list, eval_list,
                                        ent_filters, rel_filters,

@@ -164,14 +164,14 @@ class HaloPartitionedEdges:
     halo_per_pair: int = dataclasses.field(metadata={"static": True})
 
 
-def partition_edges_boundary(
-    triples: np.ndarray, num_nodes: int, num_rels: int, num_shards: int,
-    edge_bucket: int = 256, halo_bucket: int = 64,
-) -> Tuple[HaloPartitionedEdges, dict]:
-    """Host-side boundary-halo partition. Returns (edges, stats) where
-    stats records the measured boundary-set sizes vs N (the claim the
-    dense all-gather variant could never substantiate)."""
-    triples = np.asarray(triples)[:, :3].astype(np.int64)
+def _boundary_core(triples: np.ndarray, num_nodes: int, num_rels: int,
+                   num_shards: int) -> dict:
+    """Host-side partition of one snapshot's edges into interior/remote
+    per-destination-shard lists plus the per-(owner, requester) unique
+    source-row need tables. Pure numpy; packing/bucketing happens in
+    :func:`_pack_boundary` so a whole split can share bucket sizes."""
+    triples = np.asarray(triples).reshape(-1, triples.shape[-1] if triples.ndim > 1 else 3)
+    triples = triples[:, :3].astype(np.int64)
     s, r, o = triples[:, 0], triples[:, 1], triples[:, 2]
     src = np.concatenate([s, o]).astype(np.int32)
     dst = np.concatenate([o, s]).astype(np.int32)
@@ -200,21 +200,27 @@ def partition_edges_boundary(
             halo_idx[sel] = inv  # position within (g, q)'s block; offset later
         rem_lists.append((halo_idx, dst[ri] % rows, rel[ri], owner_src[ri]))
 
-    P = max((len(need_per_pair[g][q]) for g in range(G) for q in range(G)),
-            default=1)
-    P = max(((P + halo_bucket - 1) // halo_bucket) * halo_bucket, halo_bucket)
+    return {
+        "int_lists": int_lists,
+        "rem_lists": rem_lists,
+        "need_per_pair": need_per_pair,
+        "in_deg_2d": in_deg.reshape(G, rows),
+        "rows": rows,
+        "max_int": max((len(t[0]) for t in int_lists), default=1),
+        "max_rem": max((len(t[0]) for t in rem_lists), default=1),
+        "max_pair": max((len(need_per_pair[g][q])
+                         for g in range(G) for q in range(G)), default=1),
+    }
+
+
+def _pack_boundary(core: dict, G: int, Ei: int, Er: int, P: int) -> dict:
+    """Pad/pack one snapshot's core partition into fixed-size numpy
+    arrays (field dict mirroring :class:`HaloPartitionedEdges`)."""
     send_idx = np.zeros((G, G, P), np.int32)
     for g in range(G):
         for q in range(G):
-            u = need_per_pair[g][q]
+            u = core["need_per_pair"][g][q]
             send_idx[g, q, : len(u)] = u
-
-    def bucketed(n):
-        return max(((n + edge_bucket - 1) // edge_bucket) * edge_bucket,
-                   edge_bucket)
-
-    Ei = bucketed(max((len(t[0]) for t in int_lists), default=1))
-    Er = bucketed(max((len(t[0]) for t in rem_lists), default=1))
 
     def pack(lists, E, cols):
         out = [np.zeros((G, E), np.int32) for _ in range(cols)]
@@ -226,41 +232,113 @@ def partition_edges_boundary(
             mask[g, :k] = 1.0
         return out, mask
 
-    (i_src, i_dst, i_rel), i_mask = pack(int_lists, Ei, 3)
+    (i_src, i_dst, i_rel), i_mask = pack(core["int_lists"], Ei, 3)
     rem_packed = []
-    for g, (halo_idx, dstl, relv, owners) in enumerate(rem_lists):
+    for halo_idx, dstl, relv, owners in core["rem_lists"]:
         rem_packed.append((owners * P + halo_idx, dstl, relv))
     (r_src, r_dst, r_rel), r_mask = pack(rem_packed, Er, 3)
+    in_deg_2d = core["in_deg_2d"]
+    return {
+        "int_src_local": i_src, "int_dst_local": i_dst,
+        "int_rel": i_rel, "int_mask": i_mask,
+        "rem_src_halo": r_src, "rem_dst_local": r_dst,
+        "rem_rel": r_rel, "rem_mask": r_mask,
+        "send_idx": send_idx,
+        "in_deg_norm": 1.0 / np.maximum(in_deg_2d, 1.0),
+        "has_in_edge": (in_deg_2d > 0).astype(np.float32),
+    }
 
-    in_deg_2d = in_deg.reshape(G, rows)
-    edges = HaloPartitionedEdges(
-        int_src_local=jnp.asarray(i_src), int_dst_local=jnp.asarray(i_dst),
-        int_rel=jnp.asarray(i_rel), int_mask=jnp.asarray(i_mask),
-        rem_src_halo=jnp.asarray(r_src), rem_dst_local=jnp.asarray(r_dst),
-        rem_rel=jnp.asarray(r_rel), rem_mask=jnp.asarray(r_mask),
-        send_idx=jnp.asarray(send_idx),
-        in_deg_norm=jnp.asarray(1.0 / np.maximum(in_deg_2d, 1.0)),
-        has_in_edge=jnp.asarray((in_deg_2d > 0).astype(np.float32)),
-        rows_per_shard=rows, halo_per_pair=P,
-    )
-    boundary_rows = sum(len(need_per_pair[g][q])
+
+def _boundary_stats(core: dict, G: int, P: int, num_nodes: int) -> dict:
+    rows = core["rows"]
+    boundary_rows = sum(len(core["need_per_pair"][g][q])
                         for g in range(G) for q in range(G))
-    stats = {
+    return {
         "boundary_rows_total": boundary_rows,
         "boundary_fraction_of_N": boundary_rows / max(num_nodes, 1),
         "halo_rows_per_shard": G * P,
         "allgather_rows_per_shard": G * rows,
         "volume_ratio_vs_allgather": (G * P) / max(G * rows, 1),
     }
+
+
+def _bucketed(n: int, bucket: int) -> int:
+    return max(((n + bucket - 1) // bucket) * bucket, bucket)
+
+
+def partition_edges_boundary(
+    triples: np.ndarray, num_nodes: int, num_rels: int, num_shards: int,
+    edge_bucket: int = 256, halo_bucket: int = 64,
+) -> Tuple[HaloPartitionedEdges, dict]:
+    """Host-side boundary-halo partition. Returns (edges, stats) where
+    stats records the measured boundary-set sizes vs N (the claim the
+    dense all-gather variant could never substantiate)."""
+    G = num_shards
+    core = _boundary_core(triples, num_nodes, num_rels, G)
+    P = _bucketed(core["max_pair"], halo_bucket)
+    Ei = _bucketed(core["max_int"], edge_bucket)
+    Er = _bucketed(core["max_rem"], edge_bucket)
+    fields = _pack_boundary(core, G, Ei, Er, P)
+    edges = HaloPartitionedEdges(
+        **{k: jnp.asarray(v) for k, v in fields.items()},
+        rows_per_shard=core["rows"], halo_per_pair=P,
+    )
+    return edges, _boundary_stats(core, G, P, num_nodes)
+
+
+def build_halo_store(
+    snap_list: List[np.ndarray], num_nodes: int, num_rels: int,
+    num_shards: int, pad_front: int = 0,
+    edge_bucket: int = 256, halo_bucket: int = 64,
+) -> Tuple[HaloPartitionedEdges, dict]:
+    """Stacked halo partitions for a whole split: every array field gains
+    a leading ``[S]`` axis (``S = pad_front + len(snap_list)``) with
+    bucket sizes shared across snapshots, ready to attach to a
+    :class:`regcn_tpu.train.epoch.SnapshotStore` and be window-sliced per
+    fused-epoch step. ``pad_front`` prepends empty (all-masked)
+    partitions matching the store's empty identity snapshots.
+
+    Returns (stacked edges, stats) where stats aggregates the measured
+    per-snapshot boundary sizes (mean/max ``boundary_fraction_of_N``,
+    halo-vs-allgather volume ratio).
+    """
+    G = num_shards
+    empty = np.zeros((0, 3), np.int64)
+    cores = [_boundary_core(t, num_nodes, num_rels, G)
+             for t in [empty] * pad_front + list(snap_list)]
+    P = _bucketed(max(c["max_pair"] for c in cores), halo_bucket)
+    Ei = _bucketed(max(c["max_int"] for c in cores), edge_bucket)
+    Er = _bucketed(max(c["max_rem"] for c in cores), edge_bucket)
+    packed = [_pack_boundary(c, G, Ei, Er, P) for c in cores]
+    stacked = {k: jnp.asarray(np.stack([p[k] for p in packed]))
+               for k in packed[0]}
+    edges = HaloPartitionedEdges(
+        **stacked, rows_per_shard=cores[0]["rows"], halo_per_pair=P,
+    )
+    per_snap = [_boundary_stats(c, G, P, num_nodes)
+                for c in cores[pad_front:]]
+    fracs = [s["boundary_fraction_of_N"] for s in per_snap] or [0.0]
+    stats = {
+        "num_snapshots": len(snap_list),
+        "num_shards": G,
+        "boundary_fraction_of_N_mean": float(np.mean(fracs)),
+        "boundary_fraction_of_N_max": float(np.max(fracs)),
+        "halo_rows_per_shard": G * P,
+        "allgather_rows_per_shard": G * cores[0]["rows"],
+        "volume_ratio_vs_allgather": (G * P) / max(G * cores[0]["rows"], 1),
+    }
     return edges, stats
 
 
 def halo_rgcn_aggregate(
     mesh: Mesh,
-    h: jax.Array,  # [G*rows, d] entity states, row-sharded over "graph"
+    h: jax.Array,  # [N, d] entity states, row-sharded over "graph"
     rel_emb: jax.Array,  # [2R, d] replicated
     weight: jax.Array,  # [d, d] replicated
     edges: HaloPartitionedEdges,
+    *,
+    row_scalar_fn=None,  # rows [n, d] -> [n] per-row scalar (e.g. radius)
+    edge_weight_fn=None,  # (scalar_src [E], scalar_dst [E]) -> [E] weight
 ) -> jax.Array:
     """Boundary-set halo exchange overlapped with local aggregation.
 
@@ -268,8 +346,27 @@ def halo_rgcn_aggregate(
     ``all_to_all``, so XLA's latency-hiding scheduler runs the collective
     concurrently with it; only the (small) remote-edge GEMM waits on the
     halo buffer.
+
+    ``row_scalar_fn``/``edge_weight_fn`` support radius-weighted messages
+    (the hyperbolic union layers, ref:hyperbolic_layers.py:229-236):
+    scalars are computed per ROW (local + halo buffer) and gathered per
+    edge, so the extra cost is O(rows) not O(E·d). Messages accumulate in
+    fp32 (``preferred_element_type``) and return in ``h.dtype``, matching
+    :func:`regcn_tpu.ops.rgcn_scatter._rgcn_aggregate_xla`.
+
+    ``h`` may have fewer rows than ``G*rows_per_shard`` (entity counts
+    not divisible by the mesh); it is zero-padded in and sliced back out.
     """
     rows = edges.rows_per_shard
+    G = mesh.shape[GRAPH_AXIS]
+    n = h.shape[0]
+    n_pad = G * rows
+    ent_rows = NamedSharding(mesh, P(GRAPH_AXIS, None))
+    if n != n_pad:
+        h_full = jnp.pad(h, ((0, n_pad - n), (0, 0)))
+        h_full = jax.lax.with_sharding_constraint(h_full, ent_rows)
+    else:
+        h_full = h
 
     def local_fn(h3, isrc, idst, irel, imask, rsrc, rdst, rrel, rmask,
                  sidx, norm):
@@ -279,14 +376,25 @@ def halo_rgcn_aggregate(
         send = h_local[sidx[0]]  # [G requesters, P, d]
         halo = jax.lax.all_to_all(
             send, GRAPH_AXIS, split_axis=0, concat_axis=0, tiled=True)
-        msg_i = (h_local[isrc[0]] + rel_emb[irel[0]]) @ weight
-        msg_i = msg_i * imask[0][:, None]
-        agg = jax.ops.segment_sum(msg_i, idst[0], num_segments=rows)
         halo_flat = halo.reshape(-1, h_local.shape[1])  # [G*P, d]
-        msg_r = (halo_flat[rsrc[0]] + rel_emb[rrel[0]]) @ weight
-        msg_r = msg_r * rmask[0][:, None]
+
+        iw, rw = imask[0], rmask[0]
+        if edge_weight_fn is not None:
+            s_local = row_scalar_fn(h_local)  # [rows]
+            s_halo = row_scalar_fn(halo_flat)  # [G*P]
+            iw = iw * edge_weight_fn(s_local[isrc[0]], s_local[idst[0]])
+            rw = rw * edge_weight_fn(s_halo[rsrc[0]], s_local[rdst[0]])
+
+        msg_i = jnp.dot(h_local[isrc[0]] + rel_emb[irel[0]], weight,
+                        preferred_element_type=jnp.float32)
+        msg_i = msg_i * iw[:, None].astype(msg_i.dtype)
+        agg = jax.ops.segment_sum(msg_i, idst[0], num_segments=rows)
+        msg_r = jnp.dot(halo_flat[rsrc[0]] + rel_emb[rrel[0]], weight,
+                        preferred_element_type=jnp.float32)
+        msg_r = msg_r * rw[:, None].astype(msg_r.dtype)
         agg = agg + jax.ops.segment_sum(msg_r, rdst[0], num_segments=rows)
-        return (agg * norm[0][:, None])[None]
+        out = agg * norm[0][:, None].astype(agg.dtype)
+        return out.astype(h_local.dtype)[None]
 
     g_spec = P(GRAPH_AXIS, None)
     f = shard_map(
@@ -302,9 +410,11 @@ def halo_rgcn_aggregate(
         out_specs=g_spec,
         check_vma=False,
     )
-    G = mesh.shape[GRAPH_AXIS]
-    h3 = h.reshape(G, rows, -1)
+    h3 = h_full.reshape(G, rows, -1)
     out = f(h3, edges.int_src_local, edges.int_dst_local, edges.int_rel,
             edges.int_mask, edges.rem_src_halo, edges.rem_dst_local,
             edges.rem_rel, edges.rem_mask, edges.send_idx, edges.in_deg_norm)
-    return out.reshape(G * rows, -1)
+    out = out.reshape(n_pad, -1)
+    if n != n_pad:
+        out = jax.lax.with_sharding_constraint(out[:n], ent_rows)
+    return out

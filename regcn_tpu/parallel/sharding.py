@@ -148,6 +148,12 @@ def shard_snapshot_store(store, mesh: Mesh):
         if leaf is None or not hasattr(leaf, "ndim"):
             return leaf
         names = _path_names(path)
+        if "halo" in names and leaf.ndim >= 2:
+            # stacked halo fields are [S, G, ...]: shard the per-shard
+            # axis over ``graph`` so the shard_map body reads its own
+            # slice locally (send_idx [S, G, G, P] is owner-sharded)
+            spec = P(None, GRAPH_AXIS, *([None] * (leaf.ndim - 2)))
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
         sh = ent_cols if any(n in ("in_deg_norm", "has_in_edge") for n in names) else repl
         return jax.device_put(leaf, sh)
 
@@ -161,19 +167,41 @@ def make_sharded_epoch_fn(
     static_snap=None,
     impl: str = "xla",
     pad_front: int = 0,
+    agg: str = "gspmd",
 ):
     """Fused whole-epoch scan (train/epoch.py execution model) jitted
     over the mesh: entity tables/moments stay row-sharded across the
-    scan, XLA inserts the src-gather all-gather per RGCN layer and a
-    psum for the sharded CE logsumexp. ``order`` semantics match
-    :func:`regcn_tpu.train.epoch.make_epoch_fn`."""
+    scan. ``order`` semantics match
+    :func:`regcn_tpu.train.epoch.make_epoch_fn`.
+
+    ``agg`` selects the cross-shard RGCN aggregation:
+
+    - ``"gspmd"``: XLA inserts the src-gather all-gather per layer and a
+      psum for the sharded CE logsumexp from the sharding annotations;
+    - ``"halo"``: the explicit shard_map boundary-halo exchange
+      (:func:`regcn_tpu.parallel.halo.halo_rgcn_aggregate`) — comm is
+      the per-snapshot boundary set, not the whole table. Requires the
+      store to be built with ``halo_shards=mesh graph size``.
+    """
     from regcn_tpu.train.epoch import window_snapshot
+
+    if agg not in ("gspmd", "halo"):
+        raise ValueError(f"agg must be 'gspmd' or 'halo', got {agg!r}")
+    if agg == "halo":
+        from regcn_tpu.dist import HaloImpl
+
+        impl = HaloImpl(mesh)
+
+    from regcn_tpu.utils.dtypes import tree_to_compute, tree_to_fp32
 
     opt = make_optimizer(tc)
     hlen = tc.train_history_len
+    cdt = jnp.dtype(cfg.dtype)
     ent_rows = NamedSharding(mesh, P(GRAPH_AXIS, None))
 
     def loss_fn(params, model_state, history, triples, mask, rng):
+        params = tree_to_compute(params, cdt)
+        history = tree_to_compute(history, cdt)
         _, losses, new_state = recurrent.get_loss(
             params, model_state, cfg, history, triples, mask,
             static_snap=static_snap, rng=rng, train=True, impl=impl,
@@ -194,6 +222,9 @@ def make_sharded_epoch_fn(
             grads, (losses, new_model_state) = jax.grad(loss_fn, has_aux=True)(
                 st.params, st.model_state, history, triples, mask, step_rng
             )
+            if cdt != jnp.float32:
+                grads = tree_to_fp32(grads)
+                losses = tree_to_fp32(losses)
             updates, new_opt_state = opt.update(grads, st.opt_state, st.params)
             new_params = jax.tree.map(lambda p, u: p + u, st.params, updates)
             new_params["dynamic_emb"] = jax.lax.with_sharding_constraint(

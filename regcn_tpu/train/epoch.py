@@ -53,6 +53,9 @@ class SnapshotStore:
     num_nodes: int = dataclasses.field(metadata={"static": True})
     in_deg_norm: object = None  # [S, N] or None
     has_in_edge: object = None  # [S, N] or None
+    # stacked boundary-halo partitions (parallel.halo.HaloPartitionedEdges
+    # with leading [S] axes) when built with halo_shards; None otherwise
+    halo: object = None
 
 
 def build_snapshot_store(
@@ -64,6 +67,8 @@ def build_snapshot_store(
     triple_bucket: int = 512,
     pad_front: int = 0,
     store_norms: bool | None = None,
+    halo_shards: int | None = None,
+    halo_bucket: int = 64,
 ) -> SnapshotStore:
     """``pad_front`` prepends that many EMPTY snapshots (all masks zero).
 
@@ -76,6 +81,10 @@ def build_snapshot_store(
     ``store_norms`` precomputes per-snapshot degree norms into the store
     ([S, N] x2) instead of recomputing them with device scatters in every
     scan step; auto-enabled while the cost stays under ~128 MB.
+
+    ``halo_shards`` additionally attaches stacked boundary-halo edge
+    partitions (:func:`regcn_tpu.parallel.halo.build_halo_store`) for
+    shard_map aggregation over a ``graph``-axis mesh of that size.
     """
     E = _round_up(max(2 * len(t) for t in snap_list), edge_bucket)
     M = _round_up(max(4 * len(t) for t in snap_list), rc_bucket)
@@ -106,6 +115,14 @@ def build_snapshot_store(
         tmasks.append(tm)
         norms.append(sn.in_deg_norm)
         has_ins.append(sn.has_in_edge)
+    halo = None
+    if halo_shards is not None and halo_shards > 0:
+        from regcn_tpu.parallel.halo import build_halo_store
+
+        halo, _ = build_halo_store(
+            list(snap_list), num_nodes, num_rels, halo_shards,
+            pad_front=pad_front, halo_bucket=halo_bucket,
+        )
     return SnapshotStore(
         **{k: jnp.asarray(np.stack(v)) for k, v in fields.items()},
         triples=jnp.asarray(np.stack(trips)),
@@ -113,6 +130,7 @@ def build_snapshot_store(
         num_nodes=num_nodes,
         in_deg_norm=jnp.asarray(np.stack(norms)) if store_norms else None,
         has_in_edge=jnp.asarray(np.stack(has_ins)) if store_norms else None,
+        halo=halo,
     )
 
 
@@ -135,6 +153,11 @@ def window_snapshot(store: SnapshotStore, start: jax.Array, hlen: int) -> Snapsh
         )(dst, emask)
         in_deg_norm = 1.0 / jnp.maximum(in_deg, 1.0)
         has_in_edge = (in_deg > 0).astype(jnp.float32)
+    halo = None
+    if store.halo is not None:
+        # slice every array field of the stacked halo partition; static
+        # fields (rows_per_shard, halo_per_pair) carry over untouched
+        halo = jax.tree.map(sl, store.halo)
     return Snapshot(
         src=src, dst=dst, rel=rel, edge_mask=emask,
         in_deg_norm=in_deg_norm,
@@ -142,6 +165,7 @@ def window_snapshot(store: SnapshotStore, start: jax.Array, hlen: int) -> Snapsh
         rc_rel=sl(store.rc_rel), rc_ent=sl(store.rc_ent), rc_mask=sl(store.rc_mask),
         num_edges=int(store.src.shape[1]),
         num_triples=int(store.triples.shape[1]),
+        halo=halo,
     )
 
 
@@ -253,6 +277,7 @@ def build_eval_store(
     edge_bucket: int = 1024,
     rc_bucket: int = 1024,
     triple_bucket: int = 512,
+    halo_shards: int | None = None,
 ) -> SnapshotStore:
     """Store for :func:`make_eval_fn`: last-hlen history + eval snapshots,
     front-padded with empty snapshots when history is shorter than hlen."""
@@ -261,6 +286,7 @@ def build_eval_store(
         tail + list(eval_list), num_nodes, num_rels,
         edge_bucket=edge_bucket, rc_bucket=rc_bucket,
         triple_bucket=triple_bucket, pad_front=hlen - len(tail),
+        halo_shards=halo_shards,
     )
 
 

@@ -69,10 +69,32 @@ def construct_snap_r(
 
 
 class Trainer:
-    def __init__(self, cfg: ExperimentConfig, data: TKGData, impl: str = "xla"):
+    def __init__(self, cfg: ExperimentConfig, data: TKGData, impl: str = "xla",
+                 mesh=None, dist_agg: str = "gspmd"):
+        """``mesh`` (a jax.sharding.Mesh with a ``graph`` axis) enables
+        multi-chip training: entity tables/optimizer moments row-sharded,
+        fused epochs jitted over the mesh. ``dist_agg`` picks the
+        cross-shard RGCN aggregation: ``"gspmd"`` (XLA-inserted
+        all-gathers from sharding annotations) or ``"halo"`` (explicit
+        shard_map boundary-set exchange, parallel/halo.py)."""
+        if dist_agg not in ("gspmd", "halo"):
+            raise ValueError(f"dist_agg must be 'gspmd' or 'halo', got {dist_agg!r}")
+        if mesh is None and dist_agg == "halo":
+            raise ValueError("dist_agg='halo' requires a mesh")
         self.cfg = cfg
         self.data = data
         self.impl = impl
+        self.mesh = mesh
+        self.dist_agg = dist_agg
+        if mesh is not None:
+            from regcn_tpu.parallel.mesh import check_entity_divisibility
+
+            check_entity_divisibility(data.num_nodes, mesh)
+            if dist_agg == "halo":
+                from regcn_tpu.dist import HaloImpl
+
+                impl = HaloImpl(mesh)
+                self.impl = impl
         self.num_rels = data.num_rels
         self.num_nodes = data.num_nodes
 
@@ -174,6 +196,13 @@ class Trainer:
             edge_bucket=self.cfg.train.edge_bucket,
             rc_bucket=self.cfg.train.rc_bucket,
         )
+        G = self._halo_shards()
+        if G:
+            from regcn_tpu.parallel.halo import build_halo_store
+
+            halo, _ = build_halo_store(list(snaps), self.num_nodes,
+                                       self.num_rels, G)
+            h = dataclasses.replace(h, halo=halo)
         if cache_key is not None:
             self._history_cache[cache_key] = h
         return h
@@ -186,6 +215,13 @@ class Trainer:
         return self._triple_cache[idx]
 
     # ----------------------------------------------------------------- train
+    def _halo_shards(self):
+        if self.mesh is not None and self.dist_agg == "halo":
+            from regcn_tpu.parallel.mesh import GRAPH_AXIS
+
+            return self.mesh.shape[GRAPH_AXIS]
+        return None
+
     def _ensure_store(self):
         if self._store is None:
             from regcn_tpu.train.epoch import build_snapshot_store, make_epoch_fn
@@ -198,11 +234,25 @@ class Trainer:
                 self.train_list, self.num_nodes, self.num_rels,
                 edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
                 triple_bucket=tc.triple_bucket, pad_front=tc.train_history_len,
+                halo_shards=self._halo_shards(),
             )
-            self._epoch_fn = make_epoch_fn(
-                self.cfg.model, tc, static_snap=self.static_snap, impl=self.impl,
-                pad_front=tc.train_history_len,
-            )
+            if self.mesh is not None:
+                from regcn_tpu.parallel.sharding import (
+                    make_sharded_epoch_fn,
+                    shard_snapshot_store,
+                )
+
+                self._store = shard_snapshot_store(self._store, self.mesh)
+                self._epoch_fn = make_sharded_epoch_fn(
+                    self.cfg.model, tc, self.mesh,
+                    static_snap=self.static_snap, impl=self.impl,
+                    pad_front=tc.train_history_len, agg=self.dist_agg,
+                )
+            else:
+                self._epoch_fn = make_epoch_fn(
+                    self.cfg.model, tc, static_snap=self.static_snap,
+                    impl=self.impl, pad_front=tc.train_history_len,
+                )
         return self._store, self._epoch_fn
 
     def run_epoch_fused(
@@ -262,8 +312,12 @@ class Trainer:
         store = build_eval_store(
             history_list, eval_list, self.num_nodes, self.num_rels, hlen,
             edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
-            triple_bucket=tc.triple_bucket,
+            triple_bucket=tc.triple_bucket, halo_shards=self._halo_shards(),
         )
+        if self.mesh is not None:
+            from regcn_tpu.parallel.sharding import shard_snapshot_store
+
+            store = shard_snapshot_store(store, self.mesh)
         er, ec = stack_eval_filters(ent_filters, eval_list, self.num_rels,
                                     tc.triple_bucket, rel_mode=False)
         rr, rc = stack_eval_filters(rel_filters, eval_list, self.num_rels,
@@ -316,6 +370,11 @@ class Trainer:
         cache_key=None,
     ) -> Dict[str, metrics.RankStats]:
         """Rolling-window evaluation (ref:src/main.py:33-107)."""
+        if multi_step and self.dist_agg == "halo":
+            raise ValueError(
+                "multi-step inference rebuilds history from predictions "
+                "per step (host loop) and is not supported under "
+                "dist_agg='halo'; use dist_agg='gspmd' mesh mode for it")
         if not multi_step:
             return self.evaluate_fused(
                 state, history_list, eval_list, ent_filters, rel_filters,
@@ -390,6 +449,11 @@ class Trainer:
             state = create_train_state(
                 jax.random.PRNGKey(tc.seed), cfg.model, tc
             )
+            if self.mesh is not None:
+                from regcn_tpu.parallel.sharding import state_sharding_rules
+
+                state = jax.device_put(
+                    state, state_sharding_rules(state, self.mesh))
         from regcn_tpu.train.state import (
             has_resumable_checkpoint,
             restore_for_resume,

@@ -1,19 +1,39 @@
-"""Scaling benchmark: edge-partitioned RGCN aggregation across a mesh.
+"""Scaling benchmark: edge-partitioned RGCN aggregation + candidate-axis
+CE across a mesh.
 
-Measures edges/s for the shard_map halo-exchange aggregation at shard
-counts 1/2/4/8 and reports scaling efficiency vs 1 shard. With one real
-TPU chip only (this environment), run on the virtual CPU mesh for the
-communication-pattern sanity numbers:
+Measures, per shape and shard count 1/2/4/8:
+
+- ``allgather`` / ``boundary``: edges/s of the two shard_map RGCN
+  aggregation variants (parallel/halo.py), with the measured per-snapshot
+  boundary stats (halo volume vs the dense all-gather);
+- ``ce``: queries*candidates/s of the candidate-axis-sharded training CE
+  (scores GEMM [B, N] with the candidate table row-sharded, logsumexp
+  psum) — the axis where most of a step's FLOPs live and where sharding
+  communicates only O(B) scalars.
+
+Interpretation depends on the platform:
+
+- On a REAL pod slice the ``scaling_efficiency`` column (T_G / (T_1 * G))
+  is the number BASELINE.md's >=80% bar refers to; the same harness runs
+  unchanged over ICI.
+- On the virtual CPU mesh of a single host (this environment: one real
+  TPU chip, multi-chip validated on forced host devices) ALL shards share
+  the host's cores, and the single-device XLA CPU backend already
+  multithreads — so TOTAL throughput can never exceed 1x the unsharded
+  run and "efficiency" has a hard ceiling of 1/G by construction. The
+  meaningful virtual-mesh numbers are ``retention`` (T_G / T_1, ideal
+  1.0 = sharding adds no overhead at constant host resources) and the
+  communication VOLUME stats; real-chip efficiency is projected by the
+  analytic model in docs/BENCHMARKS.md. Both are reported.
 
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python tools/bench_scaling.py
-
-On a real pod slice the same harness runs unchanged over ICI.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -29,8 +49,6 @@ def _ensure_mesh():
     sitecustomize pre-imports jax on this platform, so the fallback must
     re-exec: the child sets the flag before any backend exists and
     forces the cpu platform before touching devices."""
-    import os
-
     if os.environ.get("_REGCN_SCALING_CHILD") == "1":
         jax.config.update("jax_platforms", "cpu")
         return
@@ -45,27 +63,54 @@ def _ensure_mesh():
 
 
 SHAPES = [
-    # (name, N, R, directed edges) — snapshot-sparse shapes are what the
-    # framework actually aggregates per step; the dense case stresses comm
-    ("icews14s-snap", 7_128, 230, 2_048),
-    ("icews18-snap", 23_033, 256, 16_384),
-    ("dense-16k", 16_384, 200, 131_072),
+    # (name, N, R, directed edges, d) — snapshot-sparse shapes are what
+    # the framework aggregates per step; dense-16k stresses comm; large-1m
+    # is the design regime of parallel/sharding.py ("N up to millions"),
+    # where per-shard compute finally dominates dispatch overhead
+    ("icews14s-snap", 7_128, 230, 2_048, 200),
+    ("icews18-snap", 23_033, 256, 16_384, 200),
+    ("dense-16k", 16_384, 200, 131_072, 200),
+    ("large-1m", 1_048_576, 200, 4_194_304, 64),
 ]
 
+CE_BATCH = 512
 
-def main(d=200, steps=20):
+
+def main(only=None):
     _ensure_mesh()
     out = {}
-    for name, n, r, e in SHAPES:
+    for name, n, r, e, d in SHAPES:
+        if only and name != only:
+            continue
         print(f"== {name}", flush=True)
+        # keep per-shape wall-clock bounded: big shapes need few steps to
+        # get out of the noise floor
+        steps = max(3, min(20, (1 << 22) // e))
         out[name] = bench_shape(num_ents=n, num_rels=r, num_edges=e, d=d,
                                 steps=steps)
     return out
 
 
+def _timed(fn, arg, steps, work):
+    out = fn(arg)
+    jax.block_until_ready(out)  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(arg)
+    jax.block_until_ready(out)
+    return work / ((time.perf_counter() - t0) / steps)
+
+
 def bench_shape(num_ents, num_rels, num_edges, d=200, steps=20):
-    from regcn_tpu.parallel.halo import partition_edges_by_dst, sharded_rgcn_aggregate
-    from regcn_tpu.parallel.mesh import MeshAxes, make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from regcn_tpu.parallel.halo import (
+        halo_rgcn_aggregate,
+        partition_edges_boundary,
+        partition_edges_by_dst,
+        sharded_rgcn_aggregate,
+    )
+    from regcn_tpu.parallel.mesh import GRAPH_AXIS, MeshAxes, make_mesh
 
     rng = np.random.default_rng(0)
     triples = np.stack([
@@ -77,55 +122,69 @@ def bench_shape(num_ents, num_rels, num_edges, d=200, steps=20):
     rel_emb = jnp.asarray(rng.normal(size=(2 * num_rels, d)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.05)
 
-    from regcn_tpu.parallel.halo import (
-        halo_rgcn_aggregate,
-        partition_edges_boundary,
-    )
-
-    results = {"allgather": {}, "boundary": {}}
+    results = {"allgather": {}, "boundary": {}, "ce": {}}
     halo_stats = {}
     n_dev = len(jax.devices())
+    ce_work = CE_BATCH * num_ents
+    labels = jnp.asarray(rng.integers(0, num_ents, CE_BATCH))
+    q_np = rng.normal(size=(CE_BATCH, d)).astype(np.float32)
+
     for g in (1, 2, 4, 8):
         if g > n_dev:
             break
         mesh = make_mesh(MeshAxes(data=1, graph=g), devices=jax.devices()[:g])
 
-        def timed(fn, h):
-            out = fn(h)
-            float(out.sum())  # sync
-            t0 = time.perf_counter()
-            for _ in range(steps):
-                out = fn(h)
-            float(out.sum())
-            return num_edges / ((time.perf_counter() - t0) / steps)
-
         edges = partition_edges_by_dst(triples, num_ents, num_rels, g)
         h = jnp.asarray(rng.normal(
             size=(g * edges.rows_per_shard, d)).astype(np.float32))
-        results["allgather"][g] = timed(
+        results["allgather"][g] = _timed(
             jax.jit(lambda h_, e=edges, m=mesh: sharded_rgcn_aggregate(
-                m, h_, rel_emb, w, e)), h)
+                m, h_, rel_emb, w, e)), h, steps, num_edges)
 
         bedges, stats = partition_edges_boundary(triples, num_ents, num_rels, g)
         hb = jnp.asarray(rng.normal(
             size=(g * bedges.rows_per_shard, d)).astype(np.float32))
-        results["boundary"][g] = timed(
+        results["boundary"][g] = _timed(
             jax.jit(lambda h_, e=bedges, m=mesh: halo_rgcn_aggregate(
-                m, h_, rel_emb, w, e)), hb)
+                m, h_, rel_emb, w, e)), hb, steps, num_edges)
         halo_stats[g] = {k: round(v, 4) if isinstance(v, float) else v
                          for k, v in stats.items()}
 
+        # candidate-axis CE: cand [N, d] row-sharded, scores [B, N]
+        # column-sharded, fp32 logsumexp; value+grad (training path)
+        cand_sh = NamedSharding(mesh, P(GRAPH_AXIS, None))
+        repl = NamedSharding(mesh, P())
+        cand = jax.device_put(
+            rng.normal(size=(num_ents, d)).astype(np.float32), cand_sh)
+        q = jax.device_put(q_np, repl)
+
+        def ce_loss(cand, q):
+            scores = jnp.dot(q, cand.T, preferred_element_type=jnp.float32)
+            logz = jax.nn.logsumexp(scores, axis=1)
+            ll = jnp.take_along_axis(scores, labels[:, None], axis=1)[:, 0]
+            return jnp.mean(logz - ll)
+
+        with mesh:
+            ce_fn = jax.jit(jax.value_and_grad(ce_loss, argnums=(0, 1)))
+        results["ce"][g] = _timed(lambda c: ce_fn(c, q), cand, steps, ce_work)
+
     report = {
-        "metric": "halo_rgcn_edges_per_s",
+        "metric": "halo_rgcn_edges_per_s (ce: queries*cands_per_s)",
         "platform": str(jax.devices()[0].platform),
+        "host_cores": os.cpu_count(),
+        "shape": {"N": num_ents, "E": num_edges, "d": d, "steps": steps},
         "halo_stats": {str(g): v for g, v in halo_stats.items()},
     }
     for variant, res in results.items():
         base = res.get(1)
         report[variant] = {
             str(g): {
-                "edges_per_s": round(v, 1),
+                "per_s": round(v, 1),
+                # T_G/(T_1*G): the real-multichip efficiency metric;
+                # on a shared-host virtual mesh its ceiling is 1/G
                 "scaling_efficiency": round(v / (base * g), 3) if base else None,
+                # T_G/T_1: virtual-mesh overhead retention (ideal 1.0)
+                "retention_vs_1shard": round(v / base, 3) if base else None,
             }
             for g, v in res.items()
         }
@@ -134,4 +193,4 @@ def bench_shape(num_ents, num_rels, num_edges, d=200, steps=20):
 
 
 if __name__ == "__main__":
-    main(*[int(a) for a in sys.argv[1:]])
+    main(*sys.argv[1:])
