@@ -131,16 +131,16 @@ def dist_ce_loss(
     The reference streams logsumexp across candidate chunks to bound
     memory; with the algebraic fusion the [B, N] logits are only
     B*N floats, so a direct (XLA-fused) logsumexp is usually fastest.
-    For large candidate sets on TPU the proxy-distance path instead runs
-    the Pallas flash-softmax kernel (ops/pallas_scoring.py): the [B, N]
-    logits never touch HBM in either direction. ``streaming`` is
-    True/False/"auto" (auto = TPU, proxy path, N >= STREAMING_CE_MIN_N).
+    For large candidate sets on TPU the training CE instead runs the
+    Pallas flash-softmax kernel (ops/pallas_scoring.py): the [B, N]
+    logits never touch HBM in either direction. Both the proxy-distance
+    path and the true-distance path with per-query (relation-specific)
+    curvature are covered. ``streaming`` is True/False/"auto"
+    (auto = TPU and N >= STREAMING_CE_MIN_N).
     """
     if streaming == "auto":
         streaming = (
-            not use_hyperbolic_distance
-            and query_curvature is None
-            and candidates.shape[0] >= STREAMING_CE_MIN_N
+            candidates.shape[0] >= STREAMING_CE_MIN_N
             and jax.default_backend() == "tpu"
         )
     if streaming:
@@ -149,7 +149,8 @@ def dist_ce_loss(
         return streaming_dist_ce_loss(
             query, candidates, target, c, mask=mask,
             candidate_bias=candidate_bias, score_scale=score_scale,
-            score_margin=score_margin,
+            score_margin=score_margin, query_curvature=query_curvature,
+            use_hyperbolic_distance=use_hyperbolic_distance,
         )
     logits = dist_score(
         query, candidates, c,

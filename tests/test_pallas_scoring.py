@@ -131,3 +131,68 @@ def test_dist_ce_loss_auto_streaming_dispatch():
     with pltpu.force_tpu_interpret_mode():
         forced = D.dist_ce_loss(q, x, tgt, c, streaming=True)
     np.testing.assert_allclose(float(auto), float(forced), rtol=1e-5)
+
+
+def test_streaming_ce_true_distance_per_query_curvature():
+    """Round-3: the kernel covers the true-distance path with per-query
+    (relation-specific) curvature (ref:hyperbolic_decoder.py:704-727) —
+    value AND gradients vs the dense dist_ce_loss, incl. d/d(curvature)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from regcn_tpu.hyperbolic import decoders as D
+    from regcn_tpu.hyperbolic import ops as H
+    from regcn_tpu.ops.pallas_scoring import streaming_dist_ce_loss
+
+    rng = np.random.default_rng(9)
+    B, N, d, c = 24, 900, 16, 0.01
+    q = H.exp_map_zero(jnp.asarray(rng.normal(size=(B, d)).astype("float32") * 0.4), c)
+    x = H.exp_map_zero(jnp.asarray(rng.normal(size=(N, d)).astype("float32") * 0.4), c)
+    tgt = jnp.asarray(rng.integers(0, N, B))
+    bias = jnp.asarray(rng.normal(size=N).astype("float32") * 0.1)
+    mask = jnp.asarray((rng.uniform(size=B) > 0.2).astype("float32"))
+    qc = jnp.asarray(rng.uniform(0.005, 0.05, size=B).astype("float32"))
+
+    def dense(q, x, bias, qc, scale, margin):
+        return D.dist_ce_loss(q, x, tgt, c, mask=mask, candidate_bias=bias,
+                              score_scale=scale, score_margin=margin,
+                              query_curvature=qc,
+                              use_hyperbolic_distance=True, streaming=False)
+
+    def stream(q, x, bias, qc, scale, margin):
+        return streaming_dist_ce_loss(
+            q, x, tgt, c, mask=mask, candidate_bias=bias, score_scale=scale,
+            score_margin=margin, query_curvature=qc,
+            use_hyperbolic_distance=True, block_n=256)
+
+    args = (q, x, bias, qc, jnp.float32(1.3), jnp.float32(0.7))
+    with pltpu.force_tpu_interpret_mode():
+        np.testing.assert_allclose(float(dense(*args)), float(stream(*args)),
+                                   rtol=1e-5)
+        gd = jax.grad(dense, argnums=(0, 1, 2, 3, 4, 5))(*args)
+        gs = jax.grad(stream, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    for a, b in zip(gd, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_streaming_ce_true_distance_scalar_curvature():
+    """True-distance path, uniform curvature (no per-query vector)."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from regcn_tpu.hyperbolic import decoders as D
+    from regcn_tpu.hyperbolic import ops as H
+
+    rng = np.random.default_rng(13)
+    B, N, d, c = 8, 600, 16, 0.02
+    q = H.exp_map_zero(jnp.asarray(rng.normal(size=(B, d)).astype("float32") * 0.4), c)
+    x = H.exp_map_zero(jnp.asarray(rng.normal(size=(N, d)).astype("float32") * 0.4), c)
+    tgt = jnp.asarray(rng.integers(0, N, B))
+    dense = D.dist_ce_loss(q, x, tgt, c, use_hyperbolic_distance=True,
+                           streaming=False)
+    with pltpu.force_tpu_interpret_mode():
+        stream = D.dist_ce_loss(q, x, tgt, c, use_hyperbolic_distance=True,
+                                streaming=True)
+    np.testing.assert_allclose(float(dense), float(stream), rtol=1e-5)

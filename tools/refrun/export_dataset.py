@@ -36,6 +36,10 @@ def export(name: str, out_name: str, workspace: str, seed: int = 123) -> str:
     for split in ("train", "valid", "test"):
         quads = getattr(data, split)
         np.savetxt(os.path.join(d, f"{split}.txt"), quads, fmt="%d", delimiter="\t")
+    # stat.txt: "<num_entities>\t<num_relations>" — consumed by the hisres
+    # history precompute (ref:hisres_src/get_new_history.py:76-79)
+    with open(os.path.join(d, "stat.txt"), "w") as f:
+        f.write(f"{data.num_nodes}\t{data.num_rels}\n")
     print(f"exported {name} -> {d}: {data.num_nodes} entities, "
           f"{data.num_rels} relations, "
           f"{len(data.train)}/{len(data.valid)}/{len(data.test)} quads")

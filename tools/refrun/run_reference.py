@@ -34,7 +34,37 @@ REF = os.environ.get("REFERENCE_ROOT", "/root/reference")
 ENTRIES = {
     "baseline": os.path.join(REF, "src", "main.py"),
     "hyperbolic": os.path.join(REF, "hyperbolic_src", "hyperbolic_main.py"),
+    "hisres": os.path.join(REF, "hisres_src", "hisres_main.py"),
+    "hisres_history": os.path.join(REF, "hisres_src", "get_new_history.py"),
 }
+
+
+def _prepare_hisres():
+    """Make the reference's hisres stack importable as committed.
+
+    The checked-in ``hisres_src/model.py`` is STALE: its ``BaseRGCN``
+    takes 9 args while ``hisres_src/hisres.py:202-246`` constructs
+    ``RGCNCell``/``CandRGCN`` with the 15-arg signature of
+    ``ref:src/model.py:4-71``. Inject the intended BaseRGCN via
+    ``sys.modules`` (no modification of /root/reference), and stub the
+    ``setproctitle`` dependency absent from this image.
+    """
+    import importlib.util
+    import types
+
+    if "setproctitle" not in sys.modules:
+        stub = types.ModuleType("setproctitle")
+        stub.setproctitle = lambda *a, **kw: None
+        sys.modules["setproctitle"] = stub
+
+    spec = importlib.util.spec_from_file_location(
+        "hisres_src.model", os.path.join(REF, "src", "model.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import hisres_src  # executes the (empty) package __init__
+
+    sys.modules["hisres_src.model"] = mod
+    hisres_src.model = mod
 
 
 def main():
@@ -107,11 +137,81 @@ def main():
     os.chdir(run_dir)
 
     entry = ENTRIES[args.entry]
+    if args.entry.startswith("hisres"):
+        _prepare_hisres()
+    if args.entry == "hisres":
+        _run_hisres_main(entry, rest)
+        return
     sys.argv = [entry] + rest
     print(f"[refrun] entry={entry}")
     print(f"[refrun] argv={rest}")
     print(f"[refrun] cwd={os.getcwd()} (data=../data, models=../models)")
     runpy.run_path(entry, run_name="__main__")
+
+
+def _run_hisres_main(entry: str, rest: list) -> None:
+    """Drive ref:hisres_src/hisres_main.py around its two committed bugs.
+
+    1. Everything (argparse + run_experiment call) sits under
+       ``if __name__ == '__main__'``, and runpy tears the namespace down
+       on return — import it as a module instead and call
+       ``run_experiment`` ourselves, building ``args`` by exec'ing the
+       reference's OWN argparse block (extracted verbatim at runtime, so
+       every default stays the reference's).
+    2. The validation call (ref:hisres_main.py:375-388) passes
+       ``valid_times`` where ``test()``'s indexing
+       (``timestamps_total[history_len+time_idx-1]``, :91) needs the
+       FULL timestamp sequence — an unconditional IndexError for any
+       dataset with more train than valid snapshots, i.e. validation is
+       unrunnable as committed. Wrap ``test`` to substitute the full
+       prefix ``all_times[:len(history_list)]`` (exactly what the final
+       test call passes); no other behavior changes.
+    """
+    import importlib.util
+    import re
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location("hisres_main_refrun", entry)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["hisres_main_refrun"] = mod
+    spec.loader.exec_module(mod)  # __name__ != "__main__": defs only
+
+    # build args with the reference's own parser block
+    src = open(entry).read()
+    m = re.search(r"(    parser = argparse\.ArgumentParser.*?)"
+                  r"\n    args = parser\.parse_args\(\)", src, re.S)
+    assert m, "could not locate the argparse block in hisres_main.py"
+    import argparse as _argparse
+    import textwrap
+
+    ns = {"argparse": _argparse}
+    exec(textwrap.dedent(m.group(1)), ns)
+    hisres_args = ns["parser"].parse_args(rest)
+    print(f"[refrun:hisres] args={hisres_args}")
+    mod.args = hisres_args
+
+    # full timestamp sequence from the exported files (train+valid+test)
+    data_dir = os.path.join("..", "data", hisres_args.dataset)
+    times = []
+    for split in ("train", "valid", "test"):
+        quads = np.loadtxt(os.path.join(data_dir, f"{split}.txt"),
+                           dtype=np.int64).reshape(-1, 4)
+        times.extend(np.unique(quads[:, 3]).tolist())
+    all_times = np.asarray(sorted(set(times)))
+
+    orig_test = mod.test
+
+    def test_fixed(model, history_list, test_list, *rest_a, **kw):
+        rest_a = list(rest_a)
+        # positional layout after test_list: num_rels, num_nodes,
+        # use_cuda, all_ans, all_ans_r, model_name, static_graph,
+        # timestamps_total, history_time_nogt [, mode]
+        rest_a[7] = all_times[: len(history_list)]
+        return orig_test(model, history_list, test_list, *rest_a, **kw)
+
+    mod.test = test_fixed
+    mod.run_experiment(hisres_args)
 
 
 if __name__ == "__main__":

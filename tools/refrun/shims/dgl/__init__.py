@@ -75,6 +75,10 @@ class DGLGraph:
         self.edata = _Frame()
 
     # ----------------------------------------------------------- structure
+    @property
+    def device(self):  # hisres_rgcn/utils.py:597 torch.arange(device=g.device)
+        return torch.device("cpu")
+
     def number_of_nodes(self) -> int:
         return self._n
 
