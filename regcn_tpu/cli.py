@@ -186,6 +186,13 @@ def build_parser() -> argparse.ArgumentParser:
     # hisres flags (parity: ref hisres_main.py:422-537)
     hr = p.add_argument_group("hisres")
     hr.add_argument("--history-rate", type=float, default=0.3)
+    hr.add_argument("--rel-window-mode", default="full",
+                    choices=["full", "endpoints"],
+                    help="relation-history vocabulary: 'full' = relations "
+                         "anywhere in the last history-len snapshots (the "
+                         "intended semantics of ref:hisres_main.py:336-350); "
+                         "'endpoints' reproduces the reference's actual "
+                         "per-step-difference files (parity mode)")
     return p
 
 
@@ -304,7 +311,8 @@ def run_hisres(args) -> dict:
         test_history_len=args.test_history_len, seed=args.seed,
     )
     trainer = HisResTrainer(cfg, tc, data, mesh=make_cli_mesh(args),
-                            dist_agg=args.dist_agg)
+                            dist_agg=args.dist_agg,
+                            rel_window_mode=args.rel_window_mode)
     ckpt = args.checkpoint or os.path.join(args.models_dir, "hisres-" + model_name(args))
     best, info = trainer.fit(checkpoint_path=ckpt, resume=args.resume)
     logging.info("best valid MRR (raw): %.4f", info["best_valid_mrr_raw"])

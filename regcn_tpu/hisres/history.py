@@ -65,10 +65,21 @@ class HistoryStore:
     """Cumulative (s,r)->o and windowed (s,o)->r history over flat
     sorted event tables."""
 
-    def __init__(self, num_nodes: int, num_rels: int, history_len: int = 3):
+    def __init__(self, num_nodes: int, num_rels: int, history_len: int = 3,
+                 rel_window_mode: str = "full"):
+        if rel_window_mode not in ("full", "endpoints"):
+            raise ValueError(f"rel_window_mode must be 'full' or "
+                             f"'endpoints', got {rel_window_mode!r}")
         self.num_nodes = num_nodes
         self.num_rels = num_rels  # base R
         self.history_len = history_len
+        # "full": relations seen anywhere in [t-hlen, t) — the INTENDED
+        # semantics of ref:hisres_main.py:336-350. "endpoints": reproduce
+        # the reference's ACTUAL behavior — get_new_history.py:124-126
+        # saves the PER-STEP rel_seq under the name the consumer treats
+        # as cumulative, so load(t-1) - load(t-hlen-1) |nonzero| is the
+        # symmetric difference of events at exactly those two timestamps.
+        self.rel_window_mode = rel_window_mode
         self.num_times = 0
         # tail table: unique (s*2R+r) keys, candidate o, first-seen time
         self._tail_key = np.zeros(0, np.int64)
@@ -202,14 +213,38 @@ class HistoryStore:
         return out
 
     def rel_pairs(self, triples: np.ndarray, t: int):
-        """(rows, relation) pairs seen between (s, o) in the last
-        ``history_len`` snapshots before t (ref main :336-350)."""
+        """(rows, relation) pairs seen between (s, o) before t.
+
+        mode "full" (default, the intended semantics of ref
+        main :336-350): anywhere in the last ``history_len`` snapshots.
+        mode "endpoints" (reference-actual reproduction): the symmetric
+        difference of events at exactly t-1 and t-hlen-1 — what
+        ``load_npz(t-1) - load_npz(t-hlen-1)`` + ``masked_fill(!=0)``
+        computes given get_new_history.py saves per-step rel matrices.
+        """
         if t <= 0 or len(self._rel_key) == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.int32)
-        lo_t = max(t - self.history_len, 0)
         q = triples[:, 0].astype(np.int64) * self.num_nodes + triples[:, 2]
         rows, idx = _block_gather(self._rel_key, q)
-        keep = (self._rel_t[idx] >= lo_t) & (self._rel_t[idx] < t)
+        times = self._rel_t[idx]
+        if self.rel_window_mode == "endpoints":
+            t_hi, t_lo = t - 1, t - self.history_len - 1
+            keep = (times == t_hi) | ((times == t_lo) & (t_lo >= 0))
+            rows, rels = rows[keep], self._rel_r[idx[keep]]
+            side = (times[keep] == t_hi).astype(np.int64) * 2 - 1  # +1/-1
+            if len(rows):
+                # nonzero count difference == symmetric difference for
+                # 0/1 multiplicities; general multiplicities cancel too
+                u, inv = np.unique(rows * (2 * self.num_rels) + rels,
+                                   return_inverse=True)
+                net = np.zeros(len(u), np.int64)
+                np.add.at(net, inv, side)
+                u = u[net != 0]
+                rows = u // (2 * self.num_rels)
+                rels = (u % (2 * self.num_rels)).astype(np.int32)
+            return rows, rels
+        lo_t = max(t - self.history_len, 0)
+        keep = (times >= lo_t) & (times < t)
         rows, rels = rows[keep], self._rel_r[idx[keep]]
         # dedup (row, rel) — one-hot semantics
         if len(rows):

@@ -79,7 +79,8 @@ def union_snapshots(input_list: List[np.ndarray]) -> List[np.ndarray]:
 class HisResTrainer:
     def __init__(self, cfg: HisResConfig, tc: TrainConfig, data: TKGData,
                  his_edge_bucket: int = 4096, his_max_edges: Optional[int] = 65536,
-                 mesh=None, dist_agg: str = "gspmd"):
+                 mesh=None, dist_agg: str = "gspmd",
+                 rel_window_mode: str = "full"):
         if dist_agg not in ("gspmd", "halo"):
             raise ValueError(f"dist_agg must be 'gspmd' or 'halo', got {dist_agg!r}")
         if dist_agg == "halo":
@@ -124,7 +125,8 @@ class HisResTrainer:
         # sparse history over ALL splits (the reference's offline tool uses
         # train+valid+test, ref:get_new_history.py:86)
         self.history_store = HistoryStore(
-            self.num_nodes, self.num_rels, history_len=tc.train_history_len
+            self.num_nodes, self.num_rels, history_len=tc.train_history_len,
+            rel_window_mode=rel_window_mode,
         ).build(self.all_list)
 
         self.opt = make_optimizer(tc)

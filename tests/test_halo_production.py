@@ -73,8 +73,9 @@ def test_sharded_epoch_halo_matches_unsharded(tiny_data):
                                rtol=5e-3, atol=5e-4)
 
 
-def test_trainer_halo_fit_matches_unsharded(tiny_data):
-    """Trainer(mesh, dist_agg='halo') full fit + eval == unsharded."""
+@pytest.mark.parametrize("dist_agg", ["gspmd", "halo"])
+def test_trainer_mesh_fit_matches_unsharded(tiny_data, dist_agg):
+    """Trainer(mesh, dist_agg=...) full fit + eval == unsharded."""
     from regcn_tpu.train.loop import Trainer
 
     cfg = ExperimentConfig(
@@ -84,10 +85,10 @@ def test_trainer_halo_fit_matches_unsharded(tiny_data):
                           triple_bucket=32))
     t_ref = Trainer(cfg, tiny_data)
     _, info_ref = t_ref.fit()
-    t_halo = Trainer(cfg, tiny_data, mesh=_mesh(4), dist_agg="halo")
-    _, info_halo = t_halo.fit()
+    t_mesh = Trainer(cfg, tiny_data, mesh=_mesh(4), dist_agg=dist_agg)
+    _, info_mesh = t_mesh.fit()
     assert abs(info_ref["best_valid_mrr_raw"]
-               - info_halo["best_valid_mrr_raw"]) < 2e-3
+               - info_mesh["best_valid_mrr_raw"]) < 2e-3
 
 
 def test_hyperbolic_trainer_halo_epoch_and_eval(tiny_data):

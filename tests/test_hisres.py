@@ -207,3 +207,29 @@ def test_hisres_bf16_compute_mode_tracks_fp32(tiny_data):
         assert np.asarray(state.params["dynamic_emb"]).dtype == np.float32
         last[dt] = losses[-1]
     np.testing.assert_allclose(last["bfloat16"], last["float32"], rtol=0.05)
+
+
+def test_history_store_endpoints_mode():
+    """rel_window_mode='endpoints' reproduces the reference's ACTUAL rel
+    files: symmetric difference of events at exactly t-1 and t-hlen-1
+    (get_new_history.py saves per-step rel matrices that hisres_main
+    consumes as if cumulative)."""
+    snaps = [
+        np.array([[0, 0, 1]]),               # t=0: (0,1) saw r=0
+        np.array([[0, 1, 1]]),               # t=1: (0,1) saw r=1
+        np.array([[0, 0, 1], [2, 1, 3]]),    # t=2: (0,1) saw r=0 again
+        np.array([[4, 0, 5]]),               # t=3
+    ]
+    hs = HistoryStore(num_nodes=8, num_rels=2, history_len=2,
+                      rel_window_mode="endpoints").build(snaps)
+    # t=3: endpoints are t-1=2 and t-hlen-1=0. (0,1): r=0 at BOTH -> net 0
+    # (cancels, reference masked_fill sees a zero); r=1 at neither.
+    rv = hs.rel_vocab(np.array([[0, 0, 1]]), t=3)
+    assert rv[0, 0] == 0 and rv[0, 1] == 0
+    # (2,3): r=1 at t=2 only -> present
+    rv2 = hs.rel_vocab(np.array([[2, 0, 3]]), t=3)
+    assert rv2[0, 1] == 1
+    # full mode at t=3 window [1,3): (0,1) has r=1 (t=1) and r=0 (t=2)
+    hs_full = HistoryStore(num_nodes=8, num_rels=2, history_len=2).build(snaps)
+    rvf = hs_full.rel_vocab(np.array([[0, 0, 1]]), t=3)
+    assert rvf[0, 0] == 1 and rvf[0, 1] == 1

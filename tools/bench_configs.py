@@ -105,7 +105,7 @@ def main():
     rows["5_est_gdelt"] = bench_hyperbolic(
         "synthetic-gdelt", encoder="hyperbolic_uvrgcn",
         decoder="hyperbolic_convtranse", use_est=True,
-        use_time_aware_negative=True, epochs=0)
+        use_time_aware_negative=True)
     print(json.dumps(rows, indent=1), flush=True)
 
 

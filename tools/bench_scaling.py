@@ -151,11 +151,13 @@ def bench_shape(num_ents, num_rels, num_edges, d=200, steps=20):
                          for k, v in stats.items()}
 
         # candidate-axis CE: cand [N, d] row-sharded, scores [B, N]
-        # column-sharded, fp32 logsumexp; value+grad (training path)
+        # column-sharded, fp32 logsumexp; value+grad (training path).
+        # N padded to the mesh (zero rows) so every G divides evenly.
         cand_sh = NamedSharding(mesh, P(GRAPH_AXIS, None))
         repl = NamedSharding(mesh, P())
+        n_ce = -(-num_ents // 8) * 8
         cand = jax.device_put(
-            rng.normal(size=(num_ents, d)).astype(np.float32), cand_sh)
+            rng.normal(size=(n_ce, d)).astype(np.float32), cand_sh)
         q = jax.device_put(q_np, repl)
 
         def ce_loss(cand, q):
