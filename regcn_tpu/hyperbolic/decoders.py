@@ -111,10 +111,14 @@ def dist_score(
     return block
 
 
-# candidate count at which the training CE switches to the Pallas
-# flash-softmax kernel (proxy-distance path only): below this the [B, N]
-# logits are small enough that XLA's fused GEMM+logsumexp wins on
-# dispatch overhead
+# Legacy threshold for the Pallas flash-softmax route. Round-3 clean
+# measurement (tools/bench_scoring.py, 1x v5e, B=1024, value+grad, both
+# proxy and true-distance+per-query-curvature paths, N up to 524k):
+# XLA's fused dense GEMM+logsumexp wins at EVERY shape (0.71-0.90x for
+# the kernel) and does not materialize the [B, N] logits either — its
+# fusion already achieves the flash effect. "auto" therefore resolves
+# to the dense path; the kernel remains available via streaming=True
+# (value+grad parity tested) as the O(B*d + N*d)-memory fallback.
 STREAMING_CE_MIN_N = 8192
 
 
@@ -129,20 +133,16 @@ def dist_ce_loss(
     """Masked-mean CE over all candidates (ref :182-307).
 
     The reference streams logsumexp across candidate chunks to bound
-    memory; with the algebraic fusion the [B, N] logits are only
-    B*N floats, so a direct (XLA-fused) logsumexp is usually fastest.
-    For large candidate sets on TPU the training CE instead runs the
-    Pallas flash-softmax kernel (ops/pallas_scoring.py): the [B, N]
-    logits never touch HBM in either direction. Both the proxy-distance
-    path and the true-distance path with per-query (relation-specific)
-    curvature are covered. ``streaming`` is True/False/"auto"
-    (auto = TPU and N >= STREAMING_CE_MIN_N).
+    memory (a CUDA OOM workaround); here the Möbius algebra is fused
+    into one GEMM and XLA's fusion computes the CE reduction without
+    materializing the [B, N] logits — measured fastest at every tested
+    shape (see STREAMING_CE_MIN_N note), so ``streaming="auto"``
+    resolves to the dense path. ``streaming=True`` forces the Pallas
+    flash-softmax kernel (ops/pallas_scoring.py; proxy AND
+    true-distance with per-query curvature; O(B*d + N*d) memory).
     """
     if streaming == "auto":
-        streaming = (
-            candidates.shape[0] >= STREAMING_CE_MIN_N
-            and jax.default_backend() == "tpu"
-        )
+        streaming = False
     if streaming:
         from regcn_tpu.ops.pallas_scoring import streaming_dist_ce_loss
 

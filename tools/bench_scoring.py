@@ -27,18 +27,24 @@ SHAPES = [  # (name, B queries, N candidates)
 ]
 
 
-def bench_one(name, b, n, d=200, iters=30):
+def bench_one(name, b, n, d=200, iters=30, true_dist=False):
     rng = np.random.default_rng(0)
     q = H.exp_map_zero(jnp.asarray(rng.normal(size=(b, d)).astype("float32") * 0.4), C)
     x = H.exp_map_zero(jnp.asarray(rng.normal(size=(n, d)).astype("float32") * 0.4), C)
     tgt = jnp.asarray(rng.integers(0, n, b))
     bias = jnp.asarray(rng.normal(size=n).astype("float32") * 0.1)
     mask = jnp.asarray((rng.uniform(size=b) > 0.1).astype("float32"))
+    # per-query (relation-specific) curvature exercises the round-3
+    # true-distance kernel path (ref:hyperbolic_decoder.py:704-727)
+    qc = (jnp.asarray(rng.uniform(0.005, 0.05, b).astype("float32"))
+          if true_dist else None)
 
     def loss(streaming, q, x, bias, scale, margin):
         return D.dist_ce_loss(q, x, tgt, jnp.float32(C), mask=mask,
                               candidate_bias=bias, score_scale=scale,
-                              score_margin=margin, streaming=streaming)
+                              score_margin=margin, streaming=streaming,
+                              query_curvature=qc,
+                              use_hyperbolic_distance=true_dist)
 
     vals, times = {}, {}
     for mode in (False, True):
@@ -55,12 +61,15 @@ def bench_one(name, b, n, d=200, iters=30):
         jax.block_until_ready(g)
         times[mode] = (time.perf_counter() - t0) / iters * 1e3
     rel = abs(vals[True] - vals[False]) / (abs(vals[False]) + 1e-9)
-    print(f"{name:12s} B={b} N={n:6d} | fwd+bwd dense {times[False]:7.3f} ms "
-          f"streaming {times[True]:7.3f} ms ({times[False]/times[True]:4.2f}x) "
-          f"| loss rel err {rel:.2e}")
+    tag = "true-dist+qc" if true_dist else "proxy"
+    print(f"{name:12s} {tag:12s} B={b} N={n:6d} | fwd+bwd dense "
+          f"{times[False]:7.3f} ms streaming {times[True]:7.3f} ms "
+          f"({times[False]/times[True]:4.2f}x) | loss rel err {rel:.2e}")
 
 
 if __name__ == "__main__":
     print(f"device: {jax.devices()[0]}")
     for shape in SHAPES:
         bench_one(*shape)
+    for shape in SHAPES:
+        bench_one(*shape, true_dist=True)
