@@ -18,7 +18,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from regcn_tpu.dist import HaloImpl
+from regcn_tpu.dist import HaloImpl, require_halo
 from regcn_tpu.models.decoders import _batch_norm, _init_bn
 from regcn_tpu.ops.activations import rrelu
 from regcn_tpu.ops.segment import segment_softmax
@@ -57,14 +57,10 @@ def hisres_union_layer(
 ) -> Tuple[jax.Array, jax.Array]:
     n = h.shape[0]
     if isinstance(impl, HaloImpl):
-        if snap.halo is None:
-            raise ValueError(
-                "impl is HaloImpl but the snapshot carries no halo "
-                "partition; build the store with halo_shards=mesh size")
         from regcn_tpu.parallel.halo import halo_rgcn_aggregate
 
         node_repr = halo_rgcn_aggregate(
-            impl.mesh, h, rel_emb, params["w_neighbor"], snap.halo)
+            impl.mesh, h, rel_emb, params["w_neighbor"], require_halo(snap))
     else:
         msg = (h[snap.src] + rel_emb[snap.rel]) @ params["w_neighbor"]
         msg = msg * snap.edge_mask[:, None]

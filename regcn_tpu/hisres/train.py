@@ -396,11 +396,9 @@ class HisResTrainer:
 
     # ------------------------------------------------------------------ data
     def _halo_shards(self):
-        if self.mesh is not None and self.dist_agg == "halo":
-            from regcn_tpu.parallel.mesh import GRAPH_AXIS
+        from regcn_tpu.dist import halo_shards
 
-            return self.mesh.shape[GRAPH_AXIS]
-        return None
+        return halo_shards(self.mesh, self.dist_agg)
 
     def _history(self, snaps, key=None):
         cache_key = ("h",) + key if key is not None else None
@@ -410,13 +408,10 @@ class HisResTrainer:
                           edge_bucket=self.tc.edge_bucket, rc_bucket=self.tc.rc_bucket)
         G = self._halo_shards()
         if G:
-            import dataclasses as _dc
+            from regcn_tpu.dist import attach_history_halo
 
-            from regcn_tpu.parallel.halo import build_halo_store
-
-            halo, _ = build_halo_store(list(snaps), self.num_nodes,
-                                       self.num_rels, G)
-            h = _dc.replace(h, halo=halo)
+            h = attach_history_halo(h, snaps, self.num_nodes, self.num_rels,
+                                    G, edge_bucket=self.tc.edge_bucket)
         if cache_key:
             self._history_cache[cache_key] = h
         return h

@@ -111,7 +111,7 @@ def dist_score(
     return block
 
 
-# Legacy threshold for the Pallas flash-softmax route. Round-3 clean
+# Routing note for the Pallas flash-softmax kernel: round-3 clean
 # measurement (tools/bench_scoring.py, 1x v5e, B=1024, value+grad, both
 # proxy and true-distance+per-query-curvature paths, N up to 524k):
 # XLA's fused dense GEMM+logsumexp wins at EVERY shape (0.71-0.90x for
@@ -119,7 +119,6 @@ def dist_score(
 # fusion already achieves the flash effect. "auto" therefore resolves
 # to the dense path; the kernel remains available via streaming=True
 # (value+grad parity tested) as the O(B*d + N*d)-memory fallback.
-STREAMING_CE_MIN_N = 8192
 
 
 def dist_ce_loss(
@@ -136,7 +135,7 @@ def dist_ce_loss(
     memory (a CUDA OOM workaround); here the Möbius algebra is fused
     into one GEMM and XLA's fusion computes the CE reduction without
     materializing the [B, N] logits — measured fastest at every tested
-    shape (see STREAMING_CE_MIN_N note), so ``streaming="auto"``
+    shape (see the routing note above), so ``streaming="auto"``
     resolves to the dense path. ``streaming=True`` forces the Pallas
     flash-softmax kernel (ops/pallas_scoring.py; proxy AND
     true-distance with per-query curvature; O(B*d + N*d) memory).

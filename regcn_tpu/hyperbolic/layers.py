@@ -27,7 +27,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from regcn_tpu.dist import HaloImpl
+from regcn_tpu.dist import HaloImpl, require_halo
 from regcn_tpu.hyperbolic import ops as H
 from regcn_tpu.ops.activations import rrelu
 from regcn_tpu.ops.segment import segment_softmax
@@ -72,14 +72,10 @@ def _halo_aggregate(impl, params, v, rel_emb, snap, c, radius_gamma):
     ``exp(-gamma |r_src - r_dst|)`` is computed from per-ROW radii of the
     local + halo buffers (ref:hyperbolic_layers.py:229-236 semantics;
     the reference gathers per-edge, here it is O(rows) scalars)."""
-    if snap.halo is None:
-        raise ValueError(
-            "impl is HaloImpl but the snapshot carries no halo partition; "
-            "build the store with halo_shards=mesh size")
     from regcn_tpu.parallel.halo import halo_rgcn_aggregate
 
     return halo_rgcn_aggregate(
-        impl.mesh, v, rel_emb, params["w_neighbor"], snap.halo,
+        impl.mesh, v, rel_emb, params["w_neighbor"], require_halo(snap),
         row_scalar_fn=lambda rows: H.radius_from_tangent(rows, c),
         edge_weight_fn=lambda rs, rd: jnp.exp(
             -radius_gamma * jnp.abs(rs - rd)),

@@ -429,11 +429,9 @@ class HyperbolicTrainer:
 
     # ------------------------------------------------------------------ data
     def _halo_shards(self):
-        if self.mesh is not None and self.dist_agg == "halo":
-            from regcn_tpu.parallel.mesh import GRAPH_AXIS
+        from regcn_tpu.dist import halo_shards
 
-            return self.mesh.shape[GRAPH_AXIS]
-        return None
+        return halo_shards(self.mesh, self.dist_agg)
 
     def _history(self, snaps, cache_key=None):
         if cache_key is not None and cache_key in self._history_cache:
@@ -442,11 +440,10 @@ class HyperbolicTrainer:
                           edge_bucket=self.tc.edge_bucket, rc_bucket=self.tc.rc_bucket)
         G = self._halo_shards()
         if G:
-            from regcn_tpu.parallel.halo import build_halo_store
+            from regcn_tpu.dist import attach_history_halo
 
-            halo, _ = build_halo_store(list(snaps), self.num_nodes,
-                                       self.num_rels, G)
-            h = dataclasses.replace(h, halo=halo)
+            h = attach_history_halo(h, snaps, self.num_nodes, self.num_rels,
+                                    G, edge_bucket=self.tc.edge_bucket)
         if cache_key is not None:
             self._history_cache[cache_key] = h
         return h

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from regcn_tpu.config import ModelConfig
-from regcn_tpu.dist import HaloImpl
+from regcn_tpu.dist import HaloImpl, require_halo
 from regcn_tpu.ops.activations import rrelu
 from regcn_tpu.ops.rgcn_scatter import rgcn_aggregate
 from regcn_tpu.ops.segment import masked_segment_sum
@@ -64,14 +64,10 @@ def union_rgcn_layer(
         # explicit shard_map boundary-halo aggregation over the mesh;
         # requires halo-partitioned edges in the snapshot (loud failure —
         # no silent fallback to the dense gather)
-        if snap.halo is None:
-            raise ValueError(
-                "impl is HaloImpl but the snapshot carries no halo "
-                "partition; build the store with halo_shards=mesh size")
         from regcn_tpu.parallel.halo import halo_rgcn_aggregate
 
         agg = halo_rgcn_aggregate(
-            impl.mesh, h, rel_emb, params["w_neighbor"], snap.halo)
+            impl.mesh, h, rel_emb, params["w_neighbor"], require_halo(snap))
     else:
         agg = rgcn_aggregate(
             h, rel_emb, params["w_neighbor"], snap.src, snap.dst, snap.rel,

@@ -274,7 +274,10 @@ def streaming_dist_ce_loss(
             else jnp.zeros((N,), jnp.float32))
     scale = jnp.asarray(1.0 if score_scale is None else score_scale, jnp.float32)
     margin = jnp.asarray(score_margin, jnp.float32)
-    if query_curvature is None:
+    if query_curvature is None or not use_hyperbolic_distance:
+        # the dense proxy path (decoders.dist_score else-branch) uses the
+        # GLOBAL curvature even when query_curvature is supplied; mirror
+        # that so streaming == dense on every argument combination
         cq = jnp.broadcast_to(jnp.asarray(c, jnp.float32).reshape(()), (B,))
     else:
         cq = query_curvature.reshape(-1).astype(jnp.float32)

@@ -170,7 +170,8 @@ def _boundary_core(triples: np.ndarray, num_nodes: int, num_rels: int,
     per-destination-shard lists plus the per-(owner, requester) unique
     source-row need tables. Pure numpy; packing/bucketing happens in
     :func:`_pack_boundary` so a whole split can share bucket sizes."""
-    triples = np.asarray(triples).reshape(-1, triples.shape[-1] if triples.ndim > 1 else 3)
+    triples = np.asarray(triples)
+    triples = triples.reshape(-1, triples.shape[-1] if triples.ndim > 1 else 3)
     triples = triples[:, :3].astype(np.int64)
     s, r, o = triples[:, 0], triples[:, 1], triples[:, 2]
     src = np.concatenate([s, o]).astype(np.int32)

@@ -188,8 +188,9 @@ def make_sharded_epoch_fn(
     if agg not in ("gspmd", "halo"):
         raise ValueError(f"agg must be 'gspmd' or 'halo', got {agg!r}")
     if agg == "halo":
-        from regcn_tpu.dist import HaloImpl
+        from regcn_tpu.dist import HaloImpl, check_impl_compatible
 
+        check_impl_compatible(impl, agg)
         impl = HaloImpl(mesh)
 
     from regcn_tpu.utils.dtypes import tree_to_compute, tree_to_fp32

@@ -121,7 +121,8 @@ def build_snapshot_store(
 
         halo, _ = build_halo_store(
             list(snap_list), num_nodes, num_rels, halo_shards,
-            pad_front=pad_front, halo_bucket=halo_bucket,
+            pad_front=pad_front, edge_bucket=edge_bucket,
+            halo_bucket=halo_bucket,
         )
     return SnapshotStore(
         **{k: jnp.asarray(np.stack(v)) for k, v in fields.items()},

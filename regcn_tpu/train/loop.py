@@ -81,6 +81,9 @@ class Trainer:
             raise ValueError(f"dist_agg must be 'gspmd' or 'halo', got {dist_agg!r}")
         if mesh is None and dist_agg == "halo":
             raise ValueError("dist_agg='halo' requires a mesh")
+        from regcn_tpu.dist import check_impl_compatible
+
+        check_impl_compatible(impl, dist_agg)
         self.cfg = cfg
         self.data = data
         self.impl = impl
@@ -198,11 +201,10 @@ class Trainer:
         )
         G = self._halo_shards()
         if G:
-            from regcn_tpu.parallel.halo import build_halo_store
+            from regcn_tpu.dist import attach_history_halo
 
-            halo, _ = build_halo_store(list(snaps), self.num_nodes,
-                                       self.num_rels, G)
-            h = dataclasses.replace(h, halo=halo)
+            h = attach_history_halo(h, snaps, self.num_nodes, self.num_rels,
+                                    G, edge_bucket=self.cfg.train.edge_bucket)
         if cache_key is not None:
             self._history_cache[cache_key] = h
         return h
@@ -216,11 +218,9 @@ class Trainer:
 
     # ----------------------------------------------------------------- train
     def _halo_shards(self):
-        if self.mesh is not None and self.dist_agg == "halo":
-            from regcn_tpu.parallel.mesh import GRAPH_AXIS
+        from regcn_tpu.dist import halo_shards
 
-            return self.mesh.shape[GRAPH_AXIS]
-        return None
+        return halo_shards(self.mesh, self.dist_agg)
 
     def _ensure_store(self):
         if self._store is None:

@@ -217,3 +217,16 @@ def test_cli_dist_agg_requires_shards():
 
     with pytest.raises(SystemExit):
         cli.main(["train", "-d", "synthetic-small", "--dist-agg", "halo"])
+
+
+def test_halo_rejects_conflicting_impl(tiny_data):
+    """impl='pallas' cannot silently combine with dist_agg='halo'."""
+    from regcn_tpu.train.loop import Trainer
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(num_ents=tiny_data.num_nodes,
+                          num_rels=tiny_data.num_rels, h_dim=16, n_layers=1),
+        train=TrainConfig(edge_bucket=32, rc_bucket=32, triple_bucket=32))
+    with pytest.raises(ValueError, match="conflicts"):
+        Trainer(cfg, tiny_data, impl="pallas", mesh=_mesh(2),
+                dist_agg="halo")
