@@ -84,14 +84,18 @@ def _halo_aggregate(impl, params, v, rel_emb, snap, c, radius_gamma):
 
 def _agg_scatter(msg, snap, n, impl):
     """Masked-edge scatter-sum: XLA segment_sum or the Pallas MXU kernel
-    (ops/pallas_rgcn.py; edges destination-sorted on device)."""
+    (ops/pallas_rgcn.py; edges destination-sorted at snapshot build —
+    Snapshot.dst_sorted — so no in-step argsort on that path)."""
     if impl == "pallas":
         from regcn_tpu.ops.pallas_rgcn import scatter_add_sorted
 
         dst_key = jnp.where(snap.edge_mask > 0, snap.dst, n)
-        order = jnp.argsort(dst_key)
-        agg = scatter_add_sorted(
-            msg[order].astype(jnp.float32), dst_key[order], n)
+        if getattr(snap, "dst_sorted", False):
+            agg = scatter_add_sorted(msg.astype(jnp.float32), dst_key, n)
+        else:
+            order = jnp.argsort(dst_key)
+            agg = scatter_add_sorted(
+                msg[order].astype(jnp.float32), dst_key[order], n)
         return agg.astype(msg.dtype)
     return jax.ops.segment_sum(
         msg.astype(jnp.float32), snap.dst, num_segments=n
@@ -253,16 +257,36 @@ def fhnn_layer(
     dropout: float = 0.0,
     rng=None,
     train: bool = False,
+    impl: str = "xla",
 ) -> jax.Array:
     n = h_hyper.shape[0]
     h_tan = H.log_map_zero(h_hyper, c)
-    w_e = params["rel_weight"][snap.rel]  # [E, d, d]
-    msg_tan = jnp.einsum("ed,edf->ef", h_tan[snap.src], w_e)
-    if rel_emb is not None:
-        msg_tan = msg_tan + rel_emb[snap.rel]
-    msg_ball = H.exp_map_zero(msg_tan, c)
-    weights = snap.in_deg_norm[snap.dst] * snap.edge_mask
-    h_agg = H.einstein_midpoint_segments(msg_ball, weights, snap.dst, n, c)
+    if isinstance(impl, HaloImpl):
+        # boundary halo: the Einstein midpoint is a weighted segment
+        # reduction over DESTINATION segments, so with dst-partitioned
+        # edges it is shard-local — only the source rows travel
+        from regcn_tpu.parallel.halo import halo_local_aggregate
+
+        def local_fn(hbuf, src, dst, mask, rel, norm, has_in, rows):
+            tan = H.log_map_zero(hbuf, c)
+            w_e = params["rel_weight"][rel]
+            msg_tan = jnp.einsum("ed,edf->ef", tan[src], w_e)
+            if rel_emb is not None:
+                msg_tan = msg_tan + rel_emb[rel]
+            msg_ball = H.exp_map_zero(msg_tan, c)
+            return H.einstein_midpoint_segments(
+                msg_ball, norm[dst] * mask, dst, rows, c)
+
+        h_agg = halo_local_aggregate(impl.mesh, h_hyper, require_halo(snap),
+                                     local_fn)
+    else:
+        w_e = params["rel_weight"][snap.rel]  # [E, d, d]
+        msg_tan = jnp.einsum("ed,edf->ef", h_tan[snap.src], w_e)
+        if rel_emb is not None:
+            msg_tan = msg_tan + rel_emb[snap.rel]
+        msg_ball = H.exp_map_zero(msg_tan, c)
+        weights = snap.in_deg_norm[snap.dst] * snap.edge_mask
+        h_agg = H.einstein_midpoint_segments(msg_ball, weights, snap.dst, n, c)
 
     if "loop_w" in params:
         loop_ball = H.exp_map_zero(h_tan @ params["loop_w"], c)
@@ -312,21 +336,42 @@ def lgcn_layer(
     dropout: float = 0.0,
     rng=None,
     train: bool = False,
+    impl: str = "xla",
 ) -> jax.Array:
     n, d = h_hyper.shape
     nb = n_bases
     sub = d // nb
     h_tan = H.log_map_zero(h_hyper, c)
 
-    w_e = params["weight"][snap.rel].reshape(-1, nb, sub, sub)
-    src_feat = h_tan[snap.src].reshape(-1, nb, sub)
-    msg_tan = jnp.einsum("ebi,ebio->ebo", src_feat, w_e).reshape(-1, d)
-    if rel_emb is not None:
-        msg_tan = msg_tan + rel_emb[snap.rel]
-    msg_lorentz = H.to_lorentz(H.exp_map_zero(msg_tan, c), c)
-    weights = snap.in_deg_norm[snap.dst] * snap.edge_mask
-    agg_lorentz = H.lorentz_centroid_segments(msg_lorentz, weights, snap.dst, n, c)
-    h_new = H.log_map_zero(H.to_poincare(agg_lorentz, c), c)
+    if isinstance(impl, HaloImpl):
+        # boundary halo: the weighted Lorentz centroid reduces over
+        # destination segments — shard-local under the dst partition
+        from regcn_tpu.parallel.halo import halo_local_aggregate
+
+        def local_fn(hbuf, src, dst, mask, rel, norm, has_in, rows):
+            tan = H.log_map_zero(hbuf, c)
+            w_e = params["weight"][rel].reshape(-1, nb, sub, sub)
+            src_feat = tan[src].reshape(-1, nb, sub)
+            msg_tan = jnp.einsum("ebi,ebio->ebo", src_feat, w_e).reshape(-1, d)
+            if rel_emb is not None:
+                msg_tan = msg_tan + rel_emb[rel]
+            msg_lorentz = H.to_lorentz(H.exp_map_zero(msg_tan, c), c)
+            agg_lorentz = H.lorentz_centroid_segments(
+                msg_lorentz, norm[dst] * mask, dst, rows, c)
+            return H.log_map_zero(H.to_poincare(agg_lorentz, c), c)
+
+        h_new = halo_local_aggregate(impl.mesh, h_hyper, require_halo(snap),
+                                     local_fn)
+    else:
+        w_e = params["weight"][snap.rel].reshape(-1, nb, sub, sub)
+        src_feat = h_tan[snap.src].reshape(-1, nb, sub)
+        msg_tan = jnp.einsum("ebi,ebio->ebo", src_feat, w_e).reshape(-1, d)
+        if rel_emb is not None:
+            msg_tan = msg_tan + rel_emb[snap.rel]
+        msg_lorentz = H.to_lorentz(H.exp_map_zero(msg_tan, c), c)
+        weights = snap.in_deg_norm[snap.dst] * snap.edge_mask
+        agg_lorentz = H.lorentz_centroid_segments(msg_lorentz, weights, snap.dst, n, c)
+        h_new = H.log_map_zero(H.to_poincare(agg_lorentz, c), c)
     h_new = jnp.clip(h_new, -CLAMP, CLAMP)
 
     if "loop_w" in params:
@@ -381,31 +426,64 @@ def hgat_layer(
     dropout: float = 0.0,
     rng=None,
     train: bool = False,
+    impl: str = "xla",
 ) -> jax.Array:
     n, d = h_hyper.shape
     h_tan = H.log_map_zero(h_hyper, c)
-    src_tan = h_tan[snap.src]  # [E, d]
 
-    w_e = params["rel_weight"][snap.rel]  # [E, H, d, hd]
-    msgs_tan = jnp.einsum("ed,ehdf->ehf", src_tan, w_e)  # [E, H, hd]
-    msgs_ball = H.exp_map_zero(msgs_tan, c)
+    if isinstance(impl, HaloImpl):
+        # boundary halo: attention logits need ball points of BOTH ends,
+        # but dst is always local and the segment softmax + per-head
+        # midpoint reduce over destination segments — shard-local; the
+        # same (max, sumexp) locality as the sharded CE partials
+        from regcn_tpu.parallel.halo import halo_local_aggregate
 
-    diff = H.mobius_add(h_hyper[snap.src], -h_hyper[snap.dst], c)
-    diff_tan = H.log_map_zero(diff, c)  # [E, d]; head_dim == d so no slice
-    av = params["attn_vec"][snap.rel]  # [E, H, hd]
-    scores = jax.nn.leaky_relu(
-        jnp.einsum("ehf,ef->eh", av, diff_tan), negative_slope=0.2
-    )
+        def local_fn(hbuf, src, dst, mask, rel, norm, has_in, rows):
+            tan = H.log_map_zero(hbuf, c)
+            w_e = params["rel_weight"][rel]
+            msgs_tan = jnp.einsum("ed,ehdf->ehf", tan[src], w_e)
+            msgs_ball = H.exp_map_zero(msgs_tan, c)
+            diff = H.mobius_add(hbuf[src], -hbuf[dst], c)
+            diff_tan = H.log_map_zero(diff, c)
+            av = params["attn_vec"][rel]
+            scores = jax.nn.leaky_relu(
+                jnp.einsum("ehf,ef->eh", av, diff_tan), negative_slope=0.2)
 
-    # per-node, per-head masked segment softmax + Einstein midpoint
-    def head_agg(head_scores, head_msgs):
-        alpha = segment_softmax(head_scores, snap.dst, snap.edge_mask, n)
-        return H.einstein_midpoint_segments(head_msgs, alpha * snap.edge_mask, snap.dst, n, c)
+            def head_agg(head_scores, head_msgs):
+                alpha = segment_softmax(head_scores, dst, mask, rows)
+                return H.einstein_midpoint_segments(
+                    head_msgs, alpha * mask, dst, rows, c)
 
-    agg_heads = jax.vmap(head_agg, in_axes=(1, 1), out_axes=0)(scores, msgs_ball)  # [H, N, hd]
-    # average heads in tangent space (ref :867-871)
-    avg_tan = jnp.mean(H.log_map_zero(agg_heads, c), axis=0)
-    h_new = H.exp_map_zero(avg_tan, c)
+            agg_heads = jax.vmap(head_agg, in_axes=(1, 1), out_axes=0)(
+                scores, msgs_ball)
+            avg_tan = jnp.mean(H.log_map_zero(agg_heads, c), axis=0)
+            return H.exp_map_zero(avg_tan, c)
+
+        h_new = halo_local_aggregate(impl.mesh, h_hyper, require_halo(snap),
+                                     local_fn)
+    else:
+        src_tan = h_tan[snap.src]  # [E, d]
+
+        w_e = params["rel_weight"][snap.rel]  # [E, H, d, hd]
+        msgs_tan = jnp.einsum("ed,ehdf->ehf", src_tan, w_e)  # [E, H, hd]
+        msgs_ball = H.exp_map_zero(msgs_tan, c)
+
+        diff = H.mobius_add(h_hyper[snap.src], -h_hyper[snap.dst], c)
+        diff_tan = H.log_map_zero(diff, c)  # [E, d]; head_dim == d so no slice
+        av = params["attn_vec"][snap.rel]  # [E, H, hd]
+        scores = jax.nn.leaky_relu(
+            jnp.einsum("ehf,ef->eh", av, diff_tan), negative_slope=0.2
+        )
+
+        # per-node, per-head masked segment softmax + Einstein midpoint
+        def head_agg(head_scores, head_msgs):
+            alpha = segment_softmax(head_scores, snap.dst, snap.edge_mask, n)
+            return H.einstein_midpoint_segments(head_msgs, alpha * snap.edge_mask, snap.dst, n, c)
+
+        agg_heads = jax.vmap(head_agg, in_axes=(1, 1), out_axes=0)(scores, msgs_ball)  # [H, N, hd]
+        # average heads in tangent space (ref :867-871)
+        avg_tan = jnp.mean(H.log_map_zero(agg_heads, c), axis=0)
+        h_new = H.exp_map_zero(avg_tan, c)
 
     if "loop_w" in params:
         loop_ball = H.exp_map_zero(h_tan @ params["loop_w"], c)
@@ -472,12 +550,6 @@ def encoder_cell(
     train: bool = False,
     impl: str = "xla",
 ) -> jax.Array:
-    if isinstance(impl, HaloImpl) and encoder != "hyperbolic_uvrgcn":
-        raise ValueError(
-            f"boundary-halo aggregation (dist_agg='halo') supports the "
-            f"'hyperbolic_uvrgcn' encoder only; {encoder!r} aggregates "
-            f"via Einstein midpoint / Lorentz centroid / attention — use "
-            f"dist_agg='gspmd' (XLA-inserted collectives) for it")
     x = h_hyper
     prev = None
     for i, lp in enumerate(params["layers"]):
@@ -489,15 +561,16 @@ def encoder_cell(
                 impl=impl, **kwargs
             )
         elif encoder == "fhnn":
-            new_x = fhnn_layer(lp, x, rel_emb, snap, c, **kwargs)
+            new_x = fhnn_layer(lp, x, rel_emb, snap, c, impl=impl, **kwargs)
         elif encoder == "lgcn":
             # n_bases is recoverable from the weight shape:
             # cols = nb * (d/nb)^2 = d^2 / nb
             d = x.shape[1]
             nb_eff = d * d // lp["weight"].shape[1]
-            new_x = lgcn_layer(lp, x, rel_emb, snap, c, nb_eff, **kwargs)
+            new_x = lgcn_layer(lp, x, rel_emb, snap, c, nb_eff, impl=impl, **kwargs)
         elif encoder == "hgat":
-            new_x = hgat_layer(lp, x, rel_emb, snap, c, num_heads=num_heads, **kwargs)
+            new_x = hgat_layer(lp, x, rel_emb, snap, c, num_heads=num_heads,
+                               impl=impl, **kwargs)
         else:
             raise ValueError(encoder)
         prev = x

@@ -124,16 +124,12 @@ class HyperbolicTrainer:
                 raise ValueError(
                     "dist_agg='halo' runs the fused-epoch path only; "
                     "triple_batch_size chunking is not supported with it")
-            if cfg.encoder != "hyperbolic_uvrgcn":
-                raise ValueError(
-                    f"boundary-halo aggregation (dist_agg='halo') supports "
-                    f"the 'hyperbolic_uvrgcn' encoder only; "
-                    f"{cfg.encoder!r} aggregates via Einstein midpoint / "
-                    f"Lorentz centroid / attention — use dist_agg='gspmd' "
-                    f"for it")
             # thread the halo marker through cfg.impl: every encoder-cell
-            # call dispatches on it (hyperbolic/layers.py); non-uvrgcn
-            # encoders reject it loudly in encoder_cell
+            # call dispatches on it (hyperbolic/layers.py) — all four
+            # encoders shard through the boundary halo (the sum path via
+            # halo_rgcn_aggregate; midpoint/centroid/attention via
+            # halo_local_aggregate — their weighted segment reductions
+            # are destination-local under the dst partition)
             from regcn_tpu.dist import HaloImpl
 
             cfg = dataclasses.replace(cfg, impl=HaloImpl(mesh))
@@ -668,11 +664,10 @@ class HyperbolicTrainer:
     def evaluate(self, state, history_list, eval_list, ent_filters=None,
                  rel_filters=None, time_offset: int = 0,
                  multi_step: bool = False, topk: int = 10, cache_key=None):
-        if multi_step and self.dist_agg == "halo":
-            raise ValueError(
-                "multi-step inference rebuilds history from predictions "
-                "per step (host loop) and is not supported under "
-                "dist_agg='halo'; use dist_agg='gspmd' mesh mode for it")
+        # multi-step under dist_agg='halo': the per-step host loop below
+        # rebuilds each window through self._history, which attaches the
+        # boundary-halo partition of every snapshot INCLUDING the
+        # synthetic predicted ones (one build_halo_store call per window)
         if not multi_step and self.eval_fn is not None:
             return self.evaluate_fused(state, history_list, eval_list,
                                        ent_filters, rel_filters,

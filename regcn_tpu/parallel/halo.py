@@ -331,6 +331,94 @@ def build_halo_store(
     return edges, stats
 
 
+def halo_local_aggregate(
+    mesh: Mesh,
+    h: jax.Array,  # [N, d] node states, row-sharded over "graph"
+    edges: HaloPartitionedEdges,
+    local_fn,
+) -> jax.Array:
+    """Generic boundary-halo exchange + shard-local aggregation.
+
+    The sum path has a dedicated fused kernel (:func:`halo_rgcn_aggregate`);
+    this wrapper serves every OTHER aggregation the hyperbolic encoders
+    use — Einstein midpoint (ref:hyperbolic_layers.py:371-395), Lorentz
+    centroid (ref:hyperbolic_ops.py:563-581), HGAT segment softmax
+    (ref:hyperbolic_layers.py:847-873). All of them are weighted segment
+    reductions over DESTINATION segments, and the edges are partitioned
+    by destination shard, so the reductions are exactly shard-local: the
+    only communication any of them needs is the same source-row
+    ``all_to_all`` as the sum halo.
+
+    ``local_fn(hbuf, src, dst, mask, rel, norm, has_in, rows)`` runs per
+    shard and must return ``[rows, d_out]``:
+
+    - ``hbuf``: ``[rows + G*P, d]`` — this shard's local rows followed by
+      the received halo buffer. Per-row maps (log/exp, conformal
+      factors) computed on ``hbuf`` match the unsharded full-table
+      computation row for row.
+    - ``src``: ``[Ei+Er]`` per-edge index into ``hbuf`` (interior edges
+      point below ``rows``, remote edges into the halo region);
+      ``dst``/``mask``/``rel``: ``[Ei+Er]`` with ``dst`` local;
+      ``norm``/``has_in``: ``[rows]``.
+
+    Segment reductions inside ``local_fn`` use ``num_segments=rows``.
+    ``h`` is zero-padded to ``G*rows`` and sliced back, like
+    :func:`halo_rgcn_aggregate`.
+    """
+    rows = edges.rows_per_shard
+    G = mesh.shape[GRAPH_AXIS]
+    n = h.shape[0]
+    n_pad = G * rows
+    ent_rows = NamedSharding(mesh, P(GRAPH_AXIS, None))
+    if n != n_pad:
+        h_full = jnp.pad(h, ((0, n_pad - n), (0, 0)))
+        h_full = jax.lax.with_sharding_constraint(h_full, ent_rows)
+    else:
+        h_full = h
+
+    def shard_fn(h3, isrc, idst, irel, imask, rsrc, rdst, rrel, rmask,
+                 sidx, norm, has_in):
+        h_local = h3[0]  # [rows, d]
+        send = h_local[sidx[0]]  # [G requesters, P, d]
+        halo = jax.lax.all_to_all(
+            send, GRAPH_AXIS, split_axis=0, concat_axis=0, tiled=True)
+        hbuf = jnp.concatenate(
+            [h_local, halo.reshape(-1, h_local.shape[1])], axis=0)
+        src = jnp.concatenate([isrc[0], rows + rsrc[0]])
+        dst = jnp.concatenate([idst[0], rdst[0]])
+        rel = jnp.concatenate([irel[0], rrel[0]])
+        mask = jnp.concatenate([imask[0], rmask[0]])
+        out = local_fn(hbuf, src, dst, mask, rel, norm[0], has_in[0], rows)
+        return out[None]
+
+    g_spec = P(GRAPH_AXIS, None)
+    f = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            g_spec,
+            g_spec, g_spec, g_spec, g_spec,  # interior edges
+            g_spec, g_spec, g_spec, g_spec,  # remote edges
+            P(GRAPH_AXIS, None, None),  # send_idx, owner-sharded
+            g_spec, g_spec,  # in_deg_norm, has_in_edge
+        ),
+        out_specs=g_spec,
+        check_vma=False,
+    )
+    h3 = h_full.reshape(G, rows, -1)
+    out = f(h3, edges.int_src_local, edges.int_dst_local, edges.int_rel,
+            edges.int_mask, edges.rem_src_halo, edges.rem_dst_local,
+            edges.rem_rel, edges.rem_mask, edges.send_idx,
+            edges.in_deg_norm, edges.has_in_edge)
+    out = out.reshape(n_pad, -1)
+    if n != n_pad:
+        # no row-sharding constraint on the slice: n may not divide the
+        # mesh (the trainers enforce divisibility; standalone layer calls
+        # need not) — GSPMD re-partitions downstream as needed
+        out = out[:n]
+    return out
+
+
 def halo_rgcn_aggregate(
     mesh: Mesh,
     h: jax.Array,  # [N, d] entity states, row-sharded over "graph"

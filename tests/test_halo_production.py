@@ -185,17 +185,28 @@ def test_halo_impl_requires_halo_data(tiny_data):
         recurrent.evolve(params, cfg, history, impl=HaloImpl(_mesh(2)))
 
 
-def test_halo_rejects_non_uvrgcn_encoders(tiny_data):
+def test_halo_multi_step_eval_matches_unsharded(tiny_data):
+    """Round-3 verdict item #6: multi-step inference under
+    dist_agg='halo' — the per-step host loop attaches a boundary-halo
+    partition to every rebuilt window (incl. the synthetic predicted
+    snapshots), so mesh multi-step matches the unsharded path."""
     from regcn_tpu.hyperbolic.model import HyperbolicConfig
     from regcn_tpu.hyperbolic.train import HyperbolicTrainer
 
     hcfg = HyperbolicConfig(num_ents=tiny_data.num_nodes,
                             num_rels=tiny_data.num_rels,
-                            h_dim=16, n_layers=1, encoder="lgcn", n_bases=4)
+                            h_dim=32, n_layers=1, dropout=0.0)
     tc = TrainConfig(edge_bucket=32, rc_bucket=32, triple_bucket=32)
-    with pytest.raises(ValueError, match="hyperbolic_uvrgcn"):
-        HyperbolicTrainer(hcfg, tc, tiny_data, mesh=_mesh(2),
-                          dist_agg="halo")
+    tr_ref = HyperbolicTrainer(hcfg, tc, tiny_data)
+    tr_halo = HyperbolicTrainer(hcfg, tc, tiny_data, mesh=_mesh(4),
+                                dist_agg="halo")
+    st_ref = tr_ref.init_state(jax.random.PRNGKey(0))
+    st_halo = tr_halo.init_state(jax.random.PRNGKey(0))
+    e_ref = tr_ref.evaluate(st_ref, tr_ref.train_list, tr_ref.valid_list,
+                            multi_step=True, topk=5)
+    e_halo = tr_halo.evaluate(st_halo, tr_halo.train_list,
+                              tr_halo.valid_list, multi_step=True, topk=5)
+    assert abs(e_ref["ent_raw"].mrr - e_halo["ent_raw"].mrr) < 2e-3
 
 
 def test_cli_shards_halo_smoke(tmp_path, monkeypatch):
