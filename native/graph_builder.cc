@@ -36,8 +36,11 @@ struct Pair {
 PyObject* build_snapshot_arrays(PyObject*, PyObject* args) {
   PyArrayObject* triples_obj;
   long num_nodes, num_rels, edge_pad, rc_pad;
-  if (!PyArg_ParseTuple(args, "O!llll", &PyArray_Type, &triples_obj,
-                        &num_nodes, &num_rels, &edge_pad, &rc_pad)) {
+  long rc_src_only = 0;  // 1 = HisRES r2e semantics (source entity only,
+                         // ref:hisres_rgcn/utils.py:77-80)
+  if (!PyArg_ParseTuple(args, "O!llll|l", &PyArray_Type, &triples_obj,
+                        &num_nodes, &num_rels, &edge_pad, &rc_pad,
+                        &rc_src_only)) {
     return nullptr;
   }
   PyArrayObject* triples = (PyArrayObject*)PyArray_FROM_OTF(
@@ -106,15 +109,35 @@ PyObject* build_snapshot_arrays(PyObject*, PyObject* args) {
     in_deg[o] += 1;
     in_deg[s] += 1;
     // relation-context incidence: both endpoints for r and r + R
+    // (baseline r2e), or source-only (HisRES r2e, rc_src_only=1)
     pairs.push_back({r, s});
-    pairs.push_back({r, o});
     pairs.push_back({r + (int32_t)num_rels, s});
-    pairs.push_back({r + (int32_t)num_rels, o});
+    if (!rc_src_only) {
+      pairs.push_back({r, o});
+      pairs.push_back({r + (int32_t)num_rels, o});
+    }
   }
 
   for (long v = 0; v < num_nodes; ++v) {
     norm_p[v] = 1.0f / (in_deg[v] > 0 ? (float)in_deg[v] : 1.0f);
     has_p[v] = in_deg[v] > 0 ? 1.0f : 0.0f;
+  }
+
+  // destination-sort the real edges (stable, matching numpy's
+  // kind="stable" argsort bit for bit) so the Pallas scatter kernel
+  // consumes them without an in-step argsort; padded tail stays last
+  {
+    std::vector<int32_t> idx(e);
+    for (npy_intp i = 0; i < e; ++i) idx[i] = (int32_t)i;
+    std::stable_sort(idx.begin(), idx.end(),
+                     [&](int32_t a, int32_t b) { return dst_p[a] < dst_p[b]; });
+    std::vector<int32_t> tmp(e);
+    for (npy_intp i = 0; i < e; ++i) tmp[i] = src_p[idx[i]];
+    std::copy(tmp.begin(), tmp.end(), src_p);
+    for (npy_intp i = 0; i < e; ++i) tmp[i] = dst_p[idx[i]];
+    std::copy(tmp.begin(), tmp.end(), dst_p);
+    for (npy_intp i = 0; i < e; ++i) tmp[i] = rel_p[idx[i]];
+    std::copy(tmp.begin(), tmp.end(), rel_p);
   }
 
   std::sort(pairs.begin(), pairs.end());

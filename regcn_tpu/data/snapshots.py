@@ -59,6 +59,12 @@ class Snapshot:
     # parallel.halo.HaloPartitionedEdges pytree) for shard_map
     # aggregation under a device mesh; None on the single-chip path
     halo: object = None
+    # True when the real edges are stored destination-sorted (padded tail
+    # last) — lets the Pallas scatter skip its in-step argsort
+    # (ops/pallas_rgcn.py); builders set it, hand-built snapshots default
+    # to the safe False
+    dst_sorted: bool = dataclasses.field(metadata={"static": True},
+                                         default=False)
 
 
 # A "SnapshotBatch" is a Snapshot whose fields carry a leading time axis
@@ -91,24 +97,37 @@ def split_by_time(data: np.ndarray) -> List[np.ndarray]:
     return snapshots
 
 
-def _relation_context_pairs(triples: np.ndarray, num_rels: int):
+def _relation_context_pairs(triples: np.ndarray, num_rels: int,
+                            rc_mode: str = "both"):
     """Unique (relation, entity) incidence pairs including inverse relations.
 
-    Parity with ref:rgcn/utils.py:78-97: r_to_e[r] is the *set* of entities
-    incident to base-relation-r triples (both endpoints), and r+R maps to
-    the same set.
+    rc_mode="both" — parity with ref:rgcn/utils.py:78-97: r_to_e[r] is
+    the *set* of entities incident to base-relation-r triples (both
+    endpoints), and r+R maps to the same set.
+
+    rc_mode="src" — parity with the HisRES variant's r2e
+    (ref:hisres_rgcn/utils.py:71-88), which adds ONLY the source entity
+    (`r_to_e[rel].add(src); r_to_e[rel+num_rels].add(src)`, no dst).
+    This is the divergence behind the round-3 hisres entity residual:
+    the relation-context pool feeding both hisres GRU streams averages
+    source entities only, for the forward AND inverse relation ids.
     """
     s, r, o = triples[:, 0], triples[:, 1], triples[:, 2]
-    pairs = np.concatenate(
-        [
+    if rc_mode == "src":
+        parts = [
+            np.stack([r, s], axis=1),
+            np.stack([r + num_rels, s], axis=1),
+        ]
+    elif rc_mode == "both":
+        parts = [
             np.stack([r, s], axis=1),
             np.stack([r, o], axis=1),
             np.stack([r + num_rels, s], axis=1),
             np.stack([r + num_rels, o], axis=1),
-        ],
-        axis=0,
-    )
-    pairs = np.unique(pairs, axis=0)
+        ]
+    else:
+        raise ValueError(f"rc_mode must be 'both' or 'src', got {rc_mode!r}")
+    pairs = np.unique(np.concatenate(parts, axis=0), axis=0)
     return pairs[:, 0].astype(np.int32), pairs[:, 1].astype(np.int32)
 
 
@@ -121,12 +140,17 @@ def build_snapshot(
     edge_bucket: int = 1024,
     rc_bucket: int = 1024,
     use_native: bool | None = None,
+    rc_mode: str = "both",
 ) -> Snapshot:
     """Build a padded flat-array snapshot graph from [n,3] (s,r,o) triples.
 
     When the C++ extension (native/graph_builder.cc) is compiled, the hot
     host loop runs natively; ``use_native=False`` forces the numpy path
     (the two are bit-identical — tests/test_native.py).
+
+    ``rc_mode`` selects the relation-context incidence semantics: "both"
+    endpoints (baseline r2e) or "src" only (the HisRES variant's r2e) —
+    see :func:`_relation_context_pairs`.
     """
     triples = np.asarray(triples)[:, :3].astype(np.int64)
     n = len(triples)
@@ -138,13 +162,15 @@ def build_snapshot(
             E = edge_pad if edge_pad is not None else _round_up(2 * n, edge_bucket)
             M = rc_pad if rc_pad is not None else _round_up(4 * n, rc_bucket)
             (src, dst, rel, emask, norm, has_in, rc_r, rc_e, rc_m, e, nn) = (
-                _native.build_snapshot_arrays(triples, num_nodes, num_rels, E, M)
+                _native.build_snapshot_arrays(triples, num_nodes, num_rels, E, M,
+                                              1 if rc_mode == "src" else 0)
             )
             return Snapshot(
                 src=src, dst=dst, rel=rel, edge_mask=emask,
                 in_deg_norm=norm, has_in_edge=has_in,
                 rc_rel=rc_r, rc_ent=rc_e, rc_mask=rc_m,
                 num_edges=int(e), num_triples=int(nn),
+                dst_sorted=True,
             )
         if use_native is True:
             raise RuntimeError("native graph builder requested but not built")
@@ -155,11 +181,17 @@ def build_snapshot(
     rel = np.concatenate([r, r + num_rels]).astype(np.int32)
     e = len(src)
 
+    # destination-sort the real edges (stable; padded tail stays last) so
+    # the Pallas scatter consumes them without an in-step argsort — the
+    # segment-sum path is order-independent, so this is free for XLA
+    order = np.argsort(dst, kind="stable")
+    src, dst, rel = src[order], dst[order], rel[order]
+
     in_deg = np.bincount(dst, minlength=num_nodes).astype(np.float32)
     has_in = (in_deg > 0).astype(np.float32)
     in_deg_norm = 1.0 / np.maximum(in_deg, 1.0)
 
-    rc_rel, rc_ent = _relation_context_pairs(triples, num_rels)
+    rc_rel, rc_ent = _relation_context_pairs(triples, num_rels, rc_mode)
     m = len(rc_rel)
 
     E = edge_pad if edge_pad is not None else _round_up(e, edge_bucket)
@@ -189,6 +221,7 @@ def build_snapshot(
         rc_mask=rc_mask,
         num_edges=e,
         num_triples=n,
+        dst_sorted=True,
     )
 
 
@@ -203,6 +236,7 @@ def stack_history(snaps: Sequence[Snapshot]) -> SnapshotBatch:
     return Snapshot(
         num_edges=max(sn.num_edges for sn in snaps),
         num_triples=max(sn.num_triples for sn in snaps),
+        dst_sorted=all(sn.dst_sorted for sn in snaps),
         **fields,
     )
 
@@ -213,6 +247,7 @@ def build_history(
     num_rels: int,
     edge_bucket: int = 1024,
     rc_bucket: int = 1024,
+    rc_mode: str = "both",
 ) -> SnapshotBatch:
     """Build + stack a history window, padding all steps to the window max."""
     sizes_e = [2 * len(t) for t in snapshots]
@@ -223,7 +258,8 @@ def build_history(
     rc_pad = _round_up(4 * max(len(t) for t in snapshots), rc_bucket)
     for t in snapshots:
         built.append(
-            build_snapshot(t, num_nodes, num_rels, edge_pad=edge_pad, rc_pad=rc_pad)
+            build_snapshot(t, num_nodes, num_rels, edge_pad=edge_pad,
+                           rc_pad=rc_pad, rc_mode=rc_mode)
         )
         sizes_m.append(int(built[-1].rc_mask.sum()))
     return stack_history(built)

@@ -72,6 +72,7 @@ def union_rgcn_layer(
         agg = rgcn_aggregate(
             h, rel_emb, params["w_neighbor"], snap.src, snap.dst, snap.rel,
             snap.edge_mask, snap.in_deg_norm, impl=impl,
+            dst_sorted=getattr(snap, "dst_sorted", False),
         )
     node_repr = agg
     if "loop_w" in params:

@@ -53,7 +53,8 @@ def load():
     return _native
 
 
-def build_snapshot_arrays(triples, num_nodes, num_rels, edge_pad, rc_pad):
+def build_snapshot_arrays(triples, num_nodes, num_rels, edge_pad, rc_pad,
+                          rc_src_only=0):
     """Native fast path; raises RuntimeError if the extension is absent."""
     mod = load()
     if mod is None:
@@ -61,4 +62,5 @@ def build_snapshot_arrays(triples, num_nodes, num_rels, edge_pad, rc_pad):
             "native graph builder not built; run `make -C native` or use the "
             "numpy path"
         )
-    return mod.build_snapshot_arrays(triples, num_nodes, num_rels, edge_pad, rc_pad)
+    return mod.build_snapshot_arrays(triples, num_nodes, num_rels, edge_pad,
+                                     rc_pad, rc_src_only)

@@ -38,13 +38,15 @@ def rgcn_aggregate(
     in_deg_norm: jax.Array,  # [N] float
     *,
     impl: str = "xla",
+    dst_sorted: bool = False,
 ) -> jax.Array:
     """Returns [N, d] aggregated neighborhood messages."""
     if impl == "pallas":
         from regcn_tpu.ops.pallas_rgcn import rgcn_aggregate_pallas
 
         return rgcn_aggregate_pallas(
-            h, rel_emb, weight, src, dst, rel, edge_mask, in_deg_norm
+            h, rel_emb, weight, src, dst, rel, edge_mask, in_deg_norm,
+            dst_sorted=dst_sorted,
         )
     return _rgcn_aggregate_xla(h, rel_emb, weight, src, dst, rel, edge_mask, in_deg_norm)
 

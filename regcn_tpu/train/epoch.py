@@ -56,6 +56,11 @@ class SnapshotStore:
     # stacked boundary-halo partitions (parallel.halo.HaloPartitionedEdges
     # with leading [S] axes) when built with halo_shards; None otherwise
     halo: object = None
+    # True when every snapshot's edges are destination-sorted (see
+    # Snapshot.dst_sorted) — window_snapshot propagates it so the Pallas
+    # scatter skips its in-step argsort
+    dst_sorted: bool = dataclasses.field(metadata={"static": True},
+                                         default=False)
 
 
 def build_snapshot_store(
@@ -69,6 +74,7 @@ def build_snapshot_store(
     store_norms: bool | None = None,
     halo_shards: int | None = None,
     halo_bucket: int = 64,
+    rc_mode: str = "both",
 ) -> SnapshotStore:
     """``pad_front`` prepends that many EMPTY snapshots (all masks zero).
 
@@ -107,7 +113,8 @@ def build_snapshot_store(
             norms.append(np.ones((num_nodes,), np.float32))
             has_ins.append(np.zeros((num_nodes,), np.float32))
             continue
-        sn = build_snapshot(t, num_nodes, num_rels, edge_pad=E, rc_pad=M)
+        sn = build_snapshot(t, num_nodes, num_rels, edge_pad=E, rc_pad=M,
+                            rc_mode=rc_mode)
         for k in fields:
             fields[k].append(getattr(sn, k))
         tt, tm = pad_triples(t, num_rels, bucket=B)
@@ -132,6 +139,7 @@ def build_snapshot_store(
         in_deg_norm=jnp.asarray(np.stack(norms)) if store_norms else None,
         has_in_edge=jnp.asarray(np.stack(has_ins)) if store_norms else None,
         halo=halo,
+        dst_sorted=True,
     )
 
 
@@ -167,6 +175,7 @@ def window_snapshot(store: SnapshotStore, start: jax.Array, hlen: int) -> Snapsh
         num_edges=int(store.src.shape[1]),
         num_triples=int(store.triples.shape[1]),
         halo=halo,
+        dst_sorted=store.dst_sorted,
     )
 
 
@@ -279,6 +288,7 @@ def build_eval_store(
     rc_bucket: int = 1024,
     triple_bucket: int = 512,
     halo_shards: int | None = None,
+    rc_mode: str = "both",
 ) -> SnapshotStore:
     """Store for :func:`make_eval_fn`: last-hlen history + eval snapshots,
     front-padded with empty snapshots when history is shorter than hlen."""
@@ -287,7 +297,7 @@ def build_eval_store(
         tail + list(eval_list), num_nodes, num_rels,
         edge_bucket=edge_bucket, rc_bucket=rc_bucket,
         triple_bucket=triple_bucket, pad_front=hlen - len(tail),
-        halo_shards=halo_shards,
+        halo_shards=halo_shards, rc_mode=rc_mode,
     )
 
 

@@ -27,13 +27,16 @@ def test_build_snapshot_inverse_edges_and_norm(tiny_graph):
     snap = build_snapshot(triples, n, r, edge_bucket=64)
     e = snap.num_edges
     assert e == 2 * len(triples)
-    # first half: s->o with rel, second half: o->s with rel+R
-    m = len(triples)
-    np.testing.assert_array_equal(snap.src[:m], triples[:, 0])
-    np.testing.assert_array_equal(snap.dst[:m], triples[:, 2])
-    np.testing.assert_array_equal(snap.rel[:m], triples[:, 1])
-    np.testing.assert_array_equal(snap.src[m:e], triples[:, 2])
-    np.testing.assert_array_equal(snap.rel[m:e], triples[:, 1] + r)
+    # canonical storage order is destination-sorted (Snapshot.dst_sorted;
+    # lets the Pallas scatter skip its in-step argsort) — compare as an
+    # edge SET: forward s->o with rel plus inverse o->s with rel+R
+    assert snap.dst_sorted
+    assert np.all(np.diff(snap.dst[:e]) >= 0)
+    expect_edges = {(int(s), int(rr), int(o)) for s, rr, o in triples}
+    expect_edges |= {(int(o), int(rr) + r, int(s)) for s, rr, o in triples}
+    got_edges = {(int(snap.src[i]), int(snap.rel[i]), int(snap.dst[i]))
+                 for i in range(e)}
+    assert got_edges == expect_edges
     # in-degree norm: 1/in_deg with isolated nodes -> 1
     in_deg = np.bincount(snap.dst[:e], minlength=n)
     expected = 1.0 / np.maximum(in_deg, 1)
@@ -125,7 +128,12 @@ def test_synthetic_static_graph():
     assert d.num_words > 0 and d.num_static_rels > 0
     assert d.static_triples[:, 0].max() < d.num_nodes
     assert d.static_triples[:, 1].max() < d.num_static_rels
-    assert d.static_triples[:, 2].max() < d.num_words
+    # word ids offset past entity ids AND contiguous — the convention of
+    # load_from_local / ref:src/main.py:147-149 (the reference sizes its
+    # static table by len(unique(words)), so gaps would overflow it)
+    words = d.static_triples[:, 2] - d.num_nodes
+    assert words.min() >= 0
+    assert words.max() == len(np.unique(words)) - 1 < d.num_words
     # deterministic per seed
     d2 = load_data("synthetic-small", load_static=True, seed=5)
     np.testing.assert_array_equal(d.static_triples, d2.static_triples)
