@@ -116,7 +116,16 @@ def generate(name: str = "synthetic-small", seed: int = 123,
             w = (cluster * 4 + srng.integers(0, 4, num_ents)) % num_words
             r = srng.integers(0, num_static_rels, num_ents)
             links.append(np.stack([np.arange(num_ents), r, w], axis=1))
-        static_triples = np.unique(np.concatenate(links), axis=0).astype(np.int64)
+        raw = np.unique(np.concatenate(links), axis=0).astype(np.int64)
+        # compact word ids to a contiguous 0..num_words-1 range: the
+        # reference sizes its static node table by len(unique(words))
+        # (ref:src/main.py:147-149), so gaps would make word ids exceed
+        # the table; then offset past entity ids, matching what
+        # load_from_local produces from e-w-graph.txt
+        used, dense = np.unique(raw[:, 2], return_inverse=True)
+        num_words = len(used)
+        static_triples = np.stack(
+            [raw[:, 0], raw[:, 1], dense + num_ents], axis=1)
 
     return TKGData(
         train=train,

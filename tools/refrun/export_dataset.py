@@ -21,10 +21,11 @@ import os
 import numpy as np
 
 
-def export(name: str, out_name: str, workspace: str, seed: int = 123) -> str:
+def export(name: str, out_name: str, workspace: str, seed: int = 123,
+           with_static: bool = False) -> str:
     from regcn_tpu.data.synthetic import generate
 
-    data = generate(name, seed=seed)
+    data = generate(name, seed=seed, with_static=with_static)
     d = os.path.join(workspace, "data", out_name)
     os.makedirs(d, exist_ok=True)
     with open(os.path.join(d, "entity2id.txt"), "w") as f:
@@ -40,6 +41,16 @@ def export(name: str, out_name: str, workspace: str, seed: int = 123) -> str:
     # history precompute (ref:hisres_src/get_new_history.py:76-79)
     with open(os.path.join(d, "stat.txt"), "w") as f:
         f.write(f"{data.num_nodes}\t{data.num_rels}\n")
+    if with_static:
+        # e-w-graph.txt with RAW word ids: ref:src/main.py:145-149 and
+        # regcn_tpu.data.dataset.load_from_local both add num_nodes
+        # themselves; the synthetic generator stores them offset
+        st = data.static_triples.copy()
+        st[:, 2] -= data.num_nodes
+        np.savetxt(os.path.join(d, "e-w-graph.txt"), st, fmt="%d",
+                   delimiter="\t")
+        print(f"  + e-w-graph.txt: {len(st)} links, "
+              f"{data.num_words} words, {data.num_static_rels} static rels")
     print(f"exported {name} -> {d}: {data.num_nodes} entities, "
           f"{data.num_rels} relations, "
           f"{len(data.train)}/{len(data.valid)}/{len(data.test)} quads")
@@ -52,5 +63,7 @@ if __name__ == "__main__":
     p.add_argument("--out-name", default="SMALL")
     p.add_argument("--workspace", required=True)
     p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--with-static", action="store_true", default=False,
+                   help="also export e-w-graph.txt (static word graph)")
     a = p.parse_args()
-    export(a.name, a.out_name, a.workspace, a.seed)
+    export(a.name, a.out_name, a.workspace, a.seed, with_static=a.with_static)
