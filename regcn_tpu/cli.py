@@ -193,6 +193,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "intended semantics of ref:hisres_main.py:336-350); "
                          "'endpoints' reproduces the reference's actual "
                          "per-step-difference files (parity mode)")
+    hr.add_argument("--rc-mode", default="src", choices=["src", "both"],
+                    help="relation-context incidence for the hisres "
+                         "streams: 'src' = source entities only (the "
+                         "HisRES r2e, ref:hisres_rgcn/utils.py:77-80 — "
+                         "reference parity, default); 'both' = both "
+                         "endpoints (the baseline r2e this framework "
+                         "used for hisres through round 3)")
     return p
 
 
@@ -303,6 +310,7 @@ def run_hisres(args) -> dict:
         n_bases=args.n_bases, static_weight=args.weight,
         discount=args.discount, angle=args.angle,
         compute_dtype=args.compute_dtype,
+        rc_mode=args.rc_mode,
     )
     tc = TrainConfig(
         lr=args.lr, grad_norm=args.grad_norm, n_epochs=args.n_epochs,

@@ -62,6 +62,14 @@ class HisResConfig:
     discount: float = 1.0
     angle: float = 10.0
     cand_dropout: float = 0.2  # fixed in the reference cell (ref :70-71)
+    # relation-context incidence semantics for BOTH recurrent streams.
+    # The HisRES variant's r2e adds ONLY the source entity
+    # (ref:hisres_rgcn/utils.py:77-80 — no dst, unlike the baseline
+    # rgcn/utils.py:78-97), so "src" is reference parity and the
+    # default; "both" is the baseline-r2e variant this framework
+    # shipped through round 3 (the cause of the round-3 entity −0.014
+    # refrun residual — see tests/test_hisres_model_golden.py).
+    rc_mode: str = "src"
     # bfloat16 activations/weights on the compute path; parameters,
     # optimizer, BN statistics and CE reductions stay fp32
     compute_dtype: str = "float32"

@@ -359,7 +359,7 @@ class HisResTrainer:
             self.train_list, self.num_nodes, self.num_rels,
             edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
             triple_bucket=tc.triple_bucket, pad_front=hlen,
-            halo_shards=self._halo_shards(),
+            halo_shards=self._halo_shards(), rc_mode=self.cfg.rc_mode,
         )
         if hlen > 1:
             gg_full = union_snapshots(self.train_list)
@@ -367,7 +367,7 @@ class HisResTrainer:
                 gg_full, self.num_nodes, self.num_rels,
                 edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
                 triple_bucket=tc.triple_bucket, pad_front=0,
-                halo_shards=self._halo_shards(),
+                halo_shards=self._halo_shards(), rc_mode=self.cfg.rc_mode,
             )
         else:
             self._gg_store = self._g_store
@@ -405,7 +405,9 @@ class HisResTrainer:
         if cache_key and cache_key in self._history_cache:
             return self._history_cache[cache_key]
         h = build_history(list(snaps), self.num_nodes, self.num_rels,
-                          edge_bucket=self.tc.edge_bucket, rc_bucket=self.tc.rc_bucket)
+                          edge_bucket=self.tc.edge_bucket,
+                          rc_bucket=self.tc.rc_bucket,
+                          rc_mode=self.cfg.rc_mode)
         G = self._halo_shards()
         if G:
             from regcn_tpu.dist import attach_history_halo
@@ -490,7 +492,7 @@ class HisResTrainer:
                 history_list, eval_list, self.num_nodes, self.num_rels, hlen,
                 edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
                 triple_bucket=tc.triple_bucket,
-                halo_shards=self._halo_shards(),
+                halo_shards=self._halo_shards(), rc_mode=self.cfg.rc_mode,
             )
             if hlen > 1:
                 tail = list(history_list[-hlen:])
@@ -504,7 +506,7 @@ class HisResTrainer:
                     gg_seq, self.num_nodes, self.num_rels,
                     edge_bucket=tc.edge_bucket, rc_bucket=tc.rc_bucket,
                     triple_bucket=tc.triple_bucket, pad_front=0,
-                    halo_shards=self._halo_shards(),
+                    halo_shards=self._halo_shards(), rc_mode=self.cfg.rc_mode,
                 )
             else:
                 gg_store = None  # alias of g_store; resolved after sharding
