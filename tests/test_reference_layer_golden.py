@@ -173,6 +173,50 @@ class TestHyperbolicUnionLayer:
             prev_h=jnp.asarray(prev) if skip else None, radius_gamma=0.8)
         assert_close(ours, theirs, rtol=2e-4, atol=2e-5)
 
+    def test_backward(self, graph_np, rng):
+        """GRADIENT golden (round-3 verdict weak item #5: layer goldens
+        were forward-only): torch autograd vs jax.grad of the same
+        weighted-sum scalar through ref:hyperbolic_layers.py:164-323 on
+        shared weights — checks d/d(h), d/d(rel_emb) and
+        d/d(weight_neighbor) through the radius-weighted message, the
+        clamps and the exp/log maps."""
+        snap, src, dst, rel = graph_np
+        layer = ref_hyp.HyperbolicUnionRGCNLayer(
+            D, D, 2 * R, c=C, activation=F.rrelu, self_loop=True,
+            skip_connect=False, radius_msg_gamma=0.8)
+        layer.eval()
+
+        h = ball_points(rng)
+        rel_emb = rng.normal(size=(2 * R, D)).astype(np.float32) * 0.3
+        probe = rng.normal(size=(N, D)).astype(np.float32)
+
+        params = {
+            "w_neighbor": jnp.asarray(np.asarray(layer.weight_neighbor.detach())),
+            "loop_w": jnp.asarray(np.asarray(layer.loop_weight.detach())),
+            "evolve_loop_w": jnp.asarray(np.asarray(layer.evolve_loop_weight.detach())),
+        }
+
+        h_t = t(h).requires_grad_(True)
+        rel_t = t(rel_emb).requires_grad_(True)
+        g = make_ref_graph(src, dst, rel, snap.in_deg_norm)
+        out_t = layer(g, h_t, rel_t)
+        (out_t * t(probe)).sum().backward()
+        grad_w_t = layer.weight_neighbor.grad
+
+        def loss_fn(p, hh, rr):
+            out = HL.hyperbolic_union_layer(p, hh, rr, snap, C,
+                                            radius_gamma=0.8)
+            return jnp.sum(out * jnp.asarray(probe))
+
+        grads = jax.grad(loss_fn, argnums=(0, 1, 2))(
+            params, jnp.asarray(h), jnp.asarray(rel_emb))
+        np.testing.assert_allclose(np.asarray(grads[1]), h_t.grad.numpy(),
+                                   rtol=5e-3, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(grads[2]), rel_t.grad.numpy(),
+                                   rtol=5e-3, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(grads[0]["w_neighbor"]),
+                                   grad_w_t.numpy(), rtol=5e-3, atol=5e-4)
+
 
 # ------------------------------------------------------------------- FHNN
 class TestFHNNLayer:
