@@ -19,28 +19,63 @@ import tempfile
 import jax
 
 
-def capture_trace(trace_dir: str):
-    from regcn_tpu.utils.prng import use_fast_prng
+def _trainer(config: str):
+    """Build the trainer for a named BASELINE configuration.
 
-    use_fast_prng()
+    "headline" = config 3-ish flagship (hyperbolic uvrgcn+convtranse,
+    ICEWS14s shape, bf16); "static18" = config 2 (RE-GCN + static word
+    graph, ICEWS18 shape); "est_gdelt" = config 5 (EST stack, GDELT
+    shape). Shapes/configs match tools/bench_configs.py rows."""
     from regcn_tpu.config import TrainConfig
+    from regcn_tpu.data import load_data
     from regcn_tpu.data.synthetic import generate
+
+    if config == "static18":
+        from regcn_tpu.config import ExperimentConfig, ModelConfig
+        from regcn_tpu.train.loop import Trainer
+
+        data = load_data("synthetic-icews18", load_static=True)
+        cfg = ExperimentConfig(
+            model=ModelConfig(num_ents=data.num_nodes, num_rels=data.num_rels,
+                              h_dim=200, n_layers=2, use_static=True,
+                              num_static_rels=data.num_static_rels,
+                              num_words=data.num_words),
+            train=TrainConfig(train_history_len=3, test_history_len=3))
+        t = Trainer(cfg, data)
+        return t, lambda st, ep: t.run_epoch(st, ep)
+
     from regcn_tpu.hyperbolic.model import HyperbolicConfig
     from regcn_tpu.hyperbolic.train import HyperbolicTrainer
 
-    data = generate("synthetic-icews14s", seed=123)
-    cfg = HyperbolicConfig(num_ents=data.num_nodes, num_rels=data.num_rels,
-                           h_dim=200, n_layers=2,
-                           encoder="hyperbolic_uvrgcn",
-                           decoder="hyperbolic_convtranse",
-                           compute_dtype="bfloat16")
+    if config == "est_gdelt":
+        data = generate("synthetic-gdelt", seed=123)
+        cfg = HyperbolicConfig(num_ents=data.num_nodes, num_rels=data.num_rels,
+                               h_dim=200, n_layers=2,
+                               encoder="hyperbolic_uvrgcn",
+                               decoder="hyperbolic_convtranse",
+                               use_est=True, use_time_aware_negative=True)
+    else:
+        data = generate("synthetic-icews14s", seed=123)
+        cfg = HyperbolicConfig(num_ents=data.num_nodes, num_rels=data.num_rels,
+                               h_dim=200, n_layers=2,
+                               encoder="hyperbolic_uvrgcn",
+                               decoder="hyperbolic_convtranse",
+                               compute_dtype="bfloat16")
     tc = TrainConfig(train_history_len=3, edge_bucket=128, rc_bucket=128,
                      triple_bucket=128)
     tr = HyperbolicTrainer(cfg, tc, data)
+    return tr, lambda st, ep: tr.run_epoch(st, ep)
+
+
+def capture_trace(trace_dir: str, config: str = "headline"):
+    from regcn_tpu.utils.prng import use_fast_prng
+
+    use_fast_prng()
+    tr, run_epoch = _trainer(config)
     state = tr.init_state(jax.random.PRNGKey(0))
-    state, _ = tr.run_epoch(state, 0)  # compile + warmup outside the trace
+    state, _ = run_epoch(state, 0)  # compile + warmup outside the trace
     with jax.profiler.trace(trace_dir):
-        state, losses = tr.run_epoch(state, 1)
+        state, losses = run_epoch(state, 1)
         jax.block_until_ready(losses)
 
 
@@ -84,9 +119,14 @@ def aggregate(trace_dir: str, top_n: int = 30):
 
 
 def main():
-    top_n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    config = "headline"
+    for a in sys.argv[1:]:
+        if a.startswith("--config="):
+            config = a.split("=", 1)[1]
+    top_n = int(args[0]) if args else 30
     trace_dir = tempfile.mkdtemp(prefix="regcn_trace_")
-    capture_trace(trace_dir)
+    capture_trace(trace_dir, config)
     aggregate(trace_dir, top_n)
     print(f"trace kept at {trace_dir}")
 

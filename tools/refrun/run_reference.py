@@ -177,6 +177,15 @@ def _run_hisres_main(entry: str, rest: list) -> None:
     sys.modules["hisres_main_refrun"] = mod
     spec.loader.exec_module(mod)  # __name__ != "__main__": defs only
 
+    # run_experiment hard-codes seed_torch(2023) (ref:hisres_main.py:150);
+    # REFRUN_HISRES_SEED overrides it so the reference's own seed variance
+    # can be sampled (the only mutation is the seed value)
+    seed_override = os.environ.get("REFRUN_HISRES_SEED")
+    if seed_override is not None:
+        orig_seed_torch = mod.seed_torch
+        mod.seed_torch = lambda _s, s=int(seed_override): orig_seed_torch(s)
+        print(f"[refrun:hisres] seed_torch overridden to {seed_override}")
+
     # build args with the reference's own parser block
     src = open(entry).read()
     m = re.search(r"(    parser = argparse\.ArgumentParser.*?)"
