@@ -286,7 +286,12 @@ def history_encoder(
 
         B, K, d = hist.shape
         h0 = jnp.zeros((B, d))
-        _, seq = jax.lax.scan(step, h0, hist.transpose(1, 0, 2))
+        # unroll the K-event axis: the config-5 GDELT trace showed the
+        # epoch dominated by per-iteration [B, d] slice-start DMA chains
+        # from this scan (K=32 slices per QCHHE call per step); inlining
+        # the short recurrence lets XLA fuse across events
+        _, seq = jax.lax.scan(step, h0, hist.transpose(1, 0, 2),
+                              unroll=True)
         hist_seq = seq.transpose(1, 0, 2)
     else:
         hist_seq = _transformer_encode(params["qchhe_transformer"], hist, mask)
