@@ -42,7 +42,12 @@ def _trainer(config: str):
                               num_words=data.num_words),
             train=TrainConfig(train_history_len=3, test_history_len=3))
         t = Trainer(cfg, data)
-        return t, lambda st, ep: t.run_epoch(st, ep)
+        # the euclidean Trainer has no init_state method; adapt. Use the
+        # fused-epoch path — it is what fit() and the benchmark rows run
+        from regcn_tpu.train.state import create_train_state
+
+        t.init_state = lambda key: create_train_state(key, cfg.model, cfg.train)
+        return t, lambda st, ep: t.run_epoch_fused(st, ep)
 
     from regcn_tpu.hyperbolic.model import HyperbolicConfig
     from regcn_tpu.hyperbolic.train import HyperbolicTrainer
