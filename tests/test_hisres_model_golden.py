@@ -293,6 +293,14 @@ def test_train_loss_golden(setup):
     decoders' bn0/1/2), the second named candidate cause."""
     s = setup
     s["ref"].train()
+    # the reference's CandRGCN cell HARDCODES dropout=0.2 regardless of
+    # the model's dropout arg (ref:hisres_src/hisres.py:70-71), which
+    # makes its train-mode entity loss stochastic (~1% spread); zero it
+    # so the golden is deterministic — our side runs cand_dropout=0
+    for cand in (s["ref"].cand_layer_raw, s["ref"].cand_layer_inv):
+        for layer in cand.layers:
+            if layer.dropout is not None:
+                layer.dropout.p = 0.0
     loss_e_ref, loss_r_ref, _, _ = s["ref"].get_loss(
         s["g_list"], s["gg_list"], None,
         torch.from_numpy(s["target"]).long(), None,

@@ -53,10 +53,14 @@ def test_union_layer_padding_invariance(graph_setup):
 
     params = L.init_hyperbolic_union_layer(jax.random.PRNGKey(1), d)
     out1 = L.hyperbolic_union_layer(params, h, rel, snap, C)
-    # rebuild with double padding
-    triples = _np.stack([_np.asarray(snap.src[: snap.num_edges // 2]),
-                         _np.asarray(snap.rel[: snap.num_edges // 2]),
-                         _np.asarray(snap.dst[: snap.num_edges // 2])], 1)
+    # rebuild with double padding: recover the FORWARD triples (rel < r)
+    # — edges are stored destination-sorted, so the first half is no
+    # longer the forward block
+    real = _np.asarray(snap.edge_mask) > 0
+    fwd = real & (_np.asarray(snap.rel) < r)
+    triples = _np.stack([_np.asarray(snap.src)[fwd],
+                         _np.asarray(snap.rel)[fwd],
+                         _np.asarray(snap.dst)[fwd]], 1)
     snap2 = bs(triples, n, r, edge_bucket=256)
     out2 = L.hyperbolic_union_layer(params, h, rel, snap2, C)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-5, atol=1e-6)
