@@ -28,7 +28,7 @@ import numpy as np
 
 N, R, D = 7128, 24, 128
 E = 2048  # directed edges after inverses
-NB, HEADS = 64, 2
+NB, HEADS = 32, 2  # NB must divide D and stay <= 2R (lgcn basis clamp)
 C = 0.01
 ENCODERS = ("hyperbolic_uvrgcn", "fhnn", "lgcn", "hgat")
 
