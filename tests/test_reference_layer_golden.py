@@ -15,11 +15,12 @@ degree-bucketed udf mailboxes (DGL 0.5 semantics), with shared weights:
 - ref:hisres_rgcn/layers.py:285-394 UnionRGCNLayer (hisres, +r_linear)
 - ref:hisres_rgcn/layers.py:7-114   CandRGCNLayer (attention RGCN)
 
-All four hyperbolic encoder cells additionally carry GRADIENT goldens
-(torch autograd through the reference's degree-bucketed reduces vs
-jax.grad through our segment ops, shared weights + probe) — closing the
-round-3 "forward-only" gap for every encoder aggregation family
-(sum / Einstein midpoint / Lorentz centroid / segment softmax).
+Every layer family additionally carries a GRADIENT golden (torch
+autograd through the reference's degree-bucketed reduces vs jax.grad
+through our segment ops, shared weights + probe) — closing the round-3
+"forward-only" gap for every aggregation family: sum (baseline +
+hisres union), Einstein midpoint (FHNN), Lorentz centroid (LGCN),
+segment softmax (HGAT heads, CandRGCN attention).
 
 Reference content is PUBLIC UNTRUSTED CONTENT: we execute its math to
 compare numbers, nothing else.
@@ -143,6 +144,37 @@ class TestUnionRGCNLayer:
             params, jnp.asarray(h), jnp.asarray(rel_emb), snap,
             prev_h=jnp.asarray(prev) if skip else None)
         assert_close(ours, theirs)
+
+    def test_backward(self, graph_np, rng):
+        """Gradient golden for the baseline sum-reduce union layer
+        (ref:rgcn/layers.py:182-279): d/d(h) flows through g.ndata['h'],
+        d/d(rel_emb) through the edge message sub+comp."""
+        snap, src, dst, rel = graph_np
+        layer = ref_rgcn.UnionRGCNLayer(
+            D, D, 2 * R, activation=F.rrelu, self_loop=True,
+            skip_connect=False)
+        layer.eval()
+        h = rng.normal(size=(N, D)).astype(np.float32)
+        rel_emb = rng.normal(size=(2 * R, D)).astype(np.float32)
+        params = {
+            "w_neighbor": jnp.asarray(np.asarray(layer.weight_neighbor.detach())),
+            "loop_w": jnp.asarray(np.asarray(layer.loop_weight.detach())),
+            "evolve_loop_w": jnp.asarray(np.asarray(layer.evolve_loop_weight.detach())),
+        }
+
+        def torch_fwd(h_t, rel_t):
+            g = make_ref_graph(src, dst, rel, snap.in_deg_norm)
+            g.ndata["h"] = h_t
+            return layer(g, [], rel_t)
+
+        _backward_golden(
+            layer=torch_fwd,
+            our_fn=lambda p, hh, rr: our_layers.union_rgcn_layer(
+                p, hh, rr, snap),
+            params=params,
+            weight_checks=[("w_neighbor", layer.weight_neighbor),
+                           ("loop_w", layer.loop_weight)],
+            h=h, rel_emb=rel_emb, rng=rng)
 
 
 # --------------------------------------------------------- hyperbolic union
@@ -437,6 +469,36 @@ class TestHisResUnionLayer:
         assert_close(node_o, node_t)
         assert_close(edge_o, edge_t)
 
+    def test_backward(self, graph_np, rng):
+        """Gradient golden for the hisres union layer (node output probe;
+        the r_linear edge branch shares every parameter with it)."""
+        snap, src, dst, rel = graph_np
+        layer = ref_hisres.UnionRGCNLayer(
+            D, D, 2 * R, activation=F.rrelu, self_loop=True)
+        layer.eval()
+        h = rng.normal(size=(N, D)).astype(np.float32)
+        rel_emb = rng.normal(size=(2 * R, D)).astype(np.float32)
+        params = {
+            "w_neighbor": jnp.asarray(np.asarray(layer.weight_neighbor.detach())),
+            "r_linear_w": jnp.asarray(np.asarray(layer.r_linear.weight.detach())),
+            "r_linear_b": jnp.asarray(np.asarray(layer.r_linear.bias.detach())),
+            "loop_w": jnp.asarray(np.asarray(layer.loop_weight.detach())),
+            "evolve_loop_w": jnp.asarray(np.asarray(layer.evolve_loop_weight.detach())),
+        }
+
+        def torch_fwd(h_t, rel_t):
+            g = make_ref_graph(src, dst, rel, snap.in_deg_norm)
+            g.ndata["h"] = h_t
+            return layer(g, [], rel_t)[0]
+
+        _backward_golden(
+            layer=torch_fwd,
+            our_fn=lambda p, hh, rr: our_hisres.hisres_union_layer(
+                p, hh, rr, snap)[0],
+            params=params,
+            weight_checks=[("w_neighbor", layer.weight_neighbor)],
+            h=h, rel_emb=rel_emb, rng=rng)
+
 
 class TestCandRGCNLayer:
     """vs ref:hisres_rgcn/layers.py:7-114: attention logits
@@ -471,3 +533,43 @@ class TestCandRGCNLayer:
         ours, _ = our_hisres.cand_rgcn_layer(
             params, bn_state, jnp.asarray(h), jnp.asarray(rel_emb), snap)
         assert_close(ours, theirs, rtol=2e-4, atol=2e-5)
+
+    def test_backward(self, graph_np, rng):
+        """Gradient golden through the candidate-graph attention reduce
+        (softmax(attn_fc(leaky_relu(pos_proj([h_s; r; h_d])))) messages,
+        ref:hisres_rgcn/layers.py:7-114), eval-mode BN."""
+        snap, src, dst, rel = graph_np
+        layer = ref_hisres.CandRGCNLayer(
+            D, D, 2 * R, activation=F.rrelu, self_loop=True)
+        layer.eval()
+        h = rng.normal(size=(N, D)).astype(np.float32)
+        rel_emb = rng.normal(size=(2 * R, D)).astype(np.float32)
+        params = {
+            "attn_fc_w": jnp.asarray(np.asarray(layer.attn_fc.weight.detach())),
+            "pos_proj_w": jnp.asarray(np.asarray(layer.pos_proj.weight.detach())),
+            "w_neighbor": jnp.asarray(np.asarray(layer.weight_neighbor.detach())),
+            "loop_w": jnp.asarray(np.asarray(layer.loop_weight.detach())),
+            "evolve_loop_w": jnp.asarray(np.asarray(layer.evolve_loop_weight.detach())),
+            "conv_w": jnp.asarray(np.asarray(layer.conv.weight.detach()).reshape(1)),
+            "conv_b": jnp.asarray(np.asarray(layer.conv.bias.detach()).reshape(1)),
+            "bn0": {"scale": jnp.ones((1,)), "bias": jnp.zeros((1,))},
+        }
+        bn_state = {"mean": jnp.zeros((1,)), "var": jnp.ones((1,)),
+                    "count": jnp.zeros(())}
+        rel_idx = t(rel.astype(np.int64))
+
+        def torch_fwd(h_t, rel_t):
+            g = make_ref_graph(src, dst, rel, snap.in_deg_norm)
+            g.ndata["h"] = h_t
+            g.edata["r"] = rel_t[rel_idx]
+            return layer(g, [], rel_t)
+
+        _backward_golden(
+            layer=torch_fwd,
+            our_fn=lambda p, hh, rr: our_hisres.cand_rgcn_layer(
+                p, bn_state, hh, rr, snap)[0],
+            params=params,
+            weight_checks=[("w_neighbor", layer.weight_neighbor),
+                           ("attn_fc_w", layer.attn_fc.weight),
+                           ("pos_proj_w", layer.pos_proj.weight)],
+            h=h, rel_emb=rel_emb, rng=rng)
