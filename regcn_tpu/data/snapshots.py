@@ -161,18 +161,26 @@ def build_snapshot(
         if _native.load() is not None:
             E = edge_pad if edge_pad is not None else _round_up(2 * n, edge_bucket)
             M = rc_pad if rc_pad is not None else _round_up(4 * n, rc_bucket)
-            (src, dst, rel, emask, norm, has_in, rc_r, rc_e, rc_m, e, nn) = (
-                _native.build_snapshot_arrays(triples, num_nodes, num_rels, E, M,
-                                              1 if rc_mode == "src" else 0)
-            )
-            return Snapshot(
-                src=src, dst=dst, rel=rel, edge_mask=emask,
-                in_deg_norm=norm, has_in_edge=has_in,
-                rc_rel=rc_r, rc_ent=rc_e, rc_mask=rc_m,
-                num_edges=int(e), num_triples=int(nn),
-                dst_sorted=True,
-            )
-        if use_native is True:
+            try:
+                (src, dst, rel, emask, norm, has_in, rc_r, rc_e, rc_m, e, nn) = (
+                    _native.build_snapshot_arrays(
+                        triples, num_nodes, num_rels, E, M,
+                        1 if rc_mode == "src" else 0)
+                )
+            except RuntimeError:
+                # stale .so demoted by native.build_snapshot_arrays (already
+                # logged a rebuild hint); fall through to the numpy path
+                if use_native is True:
+                    raise
+            else:
+                return Snapshot(
+                    src=src, dst=dst, rel=rel, edge_mask=emask,
+                    in_deg_norm=norm, has_in_edge=has_in,
+                    rc_rel=rc_r, rc_ent=rc_e, rc_mask=rc_m,
+                    num_edges=int(e), num_triples=int(nn),
+                    dst_sorted=True,
+                )
+        elif use_native is True:
             raise RuntimeError("native graph builder requested but not built")
     s, r, o = triples[:, 0], triples[:, 1], triples[:, 2]
 

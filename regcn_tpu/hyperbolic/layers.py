@@ -261,32 +261,29 @@ def fhnn_layer(
 ) -> jax.Array:
     n = h_hyper.shape[0]
     h_tan = H.log_map_zero(h_hyper, c)
-    if isinstance(impl, HaloImpl):
-        # boundary halo: the Einstein midpoint is a weighted segment
-        # reduction over DESTINATION segments, so with dst-partitioned
-        # edges it is shard-local — only the source rows travel
-        from regcn_tpu.parallel.halo import halo_local_aggregate
 
-        def local_fn(hbuf, src, dst, mask, rel, norm, has_in, rows):
-            tan = H.log_map_zero(hbuf, c)
-            w_e = params["rel_weight"][rel]
-            msg_tan = jnp.einsum("ed,edf->ef", tan[src], w_e)
-            if rel_emb is not None:
-                msg_tan = msg_tan + rel_emb[rel]
-            msg_ball = H.exp_map_zero(msg_tan, c)
-            return H.einstein_midpoint_segments(
-                msg_ball, norm[dst] * mask, dst, rows, c)
+    # one message+aggregation definition for BOTH the dense and the halo
+    # path (the Einstein midpoint is a weighted reduction over DESTINATION
+    # segments, so with dst-partitioned edges it is shard-local — only the
+    # source rows travel)
+    def local_fn(hbuf, src, dst, mask, rel, norm, has_in, rows):
+        tan = H.log_map_zero(hbuf, c)
+        w_e = params["rel_weight"][rel]
+        msg_tan = jnp.einsum("ed,edf->ef", tan[src], w_e)
+        if rel_emb is not None:
+            msg_tan = msg_tan + rel_emb[rel]
+        msg_ball = H.exp_map_zero(msg_tan, c)
+        return H.einstein_midpoint_segments(
+            msg_ball, norm[dst] * mask, dst, rows, c)
+
+    if isinstance(impl, HaloImpl):
+        from regcn_tpu.parallel.halo import halo_local_aggregate
 
         h_agg = halo_local_aggregate(impl.mesh, h_hyper, require_halo(snap),
                                      local_fn)
     else:
-        w_e = params["rel_weight"][snap.rel]  # [E, d, d]
-        msg_tan = jnp.einsum("ed,edf->ef", h_tan[snap.src], w_e)
-        if rel_emb is not None:
-            msg_tan = msg_tan + rel_emb[snap.rel]
-        msg_ball = H.exp_map_zero(msg_tan, c)
-        weights = snap.in_deg_norm[snap.dst] * snap.edge_mask
-        h_agg = H.einstein_midpoint_segments(msg_ball, weights, snap.dst, n, c)
+        h_agg = local_fn(h_hyper, snap.src, snap.dst, snap.edge_mask,
+                         snap.rel, snap.in_deg_norm, snap.has_in_edge, n)
 
     if "loop_w" in params:
         loop_ball = H.exp_map_zero(h_tan @ params["loop_w"], c)
@@ -343,35 +340,29 @@ def lgcn_layer(
     sub = d // nb
     h_tan = H.log_map_zero(h_hyper, c)
 
-    if isinstance(impl, HaloImpl):
-        # boundary halo: the weighted Lorentz centroid reduces over
-        # destination segments — shard-local under the dst partition
-        from regcn_tpu.parallel.halo import halo_local_aggregate
+    # one message+aggregation definition for BOTH the dense and the halo
+    # path (the weighted Lorentz centroid reduces over destination
+    # segments — shard-local under the dst partition)
+    def local_fn(hbuf, src, dst, mask, rel, norm, has_in, rows):
+        tan = H.log_map_zero(hbuf, c)
+        w_e = params["weight"][rel].reshape(-1, nb, sub, sub)
+        src_feat = tan[src].reshape(-1, nb, sub)
+        msg_tan = jnp.einsum("ebi,ebio->ebo", src_feat, w_e).reshape(-1, d)
+        if rel_emb is not None:
+            msg_tan = msg_tan + rel_emb[rel]
+        msg_lorentz = H.to_lorentz(H.exp_map_zero(msg_tan, c), c)
+        agg_lorentz = H.lorentz_centroid_segments(
+            msg_lorentz, norm[dst] * mask, dst, rows, c)
+        return H.log_map_zero(H.to_poincare(agg_lorentz, c), c)
 
-        def local_fn(hbuf, src, dst, mask, rel, norm, has_in, rows):
-            tan = H.log_map_zero(hbuf, c)
-            w_e = params["weight"][rel].reshape(-1, nb, sub, sub)
-            src_feat = tan[src].reshape(-1, nb, sub)
-            msg_tan = jnp.einsum("ebi,ebio->ebo", src_feat, w_e).reshape(-1, d)
-            if rel_emb is not None:
-                msg_tan = msg_tan + rel_emb[rel]
-            msg_lorentz = H.to_lorentz(H.exp_map_zero(msg_tan, c), c)
-            agg_lorentz = H.lorentz_centroid_segments(
-                msg_lorentz, norm[dst] * mask, dst, rows, c)
-            return H.log_map_zero(H.to_poincare(agg_lorentz, c), c)
+    if isinstance(impl, HaloImpl):
+        from regcn_tpu.parallel.halo import halo_local_aggregate
 
         h_new = halo_local_aggregate(impl.mesh, h_hyper, require_halo(snap),
                                      local_fn)
     else:
-        w_e = params["weight"][snap.rel].reshape(-1, nb, sub, sub)
-        src_feat = h_tan[snap.src].reshape(-1, nb, sub)
-        msg_tan = jnp.einsum("ebi,ebio->ebo", src_feat, w_e).reshape(-1, d)
-        if rel_emb is not None:
-            msg_tan = msg_tan + rel_emb[snap.rel]
-        msg_lorentz = H.to_lorentz(H.exp_map_zero(msg_tan, c), c)
-        weights = snap.in_deg_norm[snap.dst] * snap.edge_mask
-        agg_lorentz = H.lorentz_centroid_segments(msg_lorentz, weights, snap.dst, n, c)
-        h_new = H.log_map_zero(H.to_poincare(agg_lorentz, c), c)
+        h_new = local_fn(h_hyper, snap.src, snap.dst, snap.edge_mask,
+                         snap.rel, snap.in_deg_norm, snap.has_in_edge, n)
     h_new = jnp.clip(h_new, -CLAMP, CLAMP)
 
     if "loop_w" in params:
@@ -431,59 +422,41 @@ def hgat_layer(
     n, d = h_hyper.shape
     h_tan = H.log_map_zero(h_hyper, c)
 
+    # one message+aggregation definition for BOTH the dense and the halo
+    # path: attention logits need ball points of BOTH ends, but dst is
+    # always local and the segment softmax + per-head Einstein midpoint
+    # reduce over destination segments — shard-local; the same
+    # (max, sumexp) locality as the sharded CE partials. Head averaging
+    # is in tangent space (ref :867-871); head_dim == d so no slice.
+    def local_fn(hbuf, src, dst, mask, rel, norm, has_in, rows):
+        tan = H.log_map_zero(hbuf, c)
+        w_e = params["rel_weight"][rel]  # [E, H, d, hd]
+        msgs_tan = jnp.einsum("ed,ehdf->ehf", tan[src], w_e)  # [E, H, hd]
+        msgs_ball = H.exp_map_zero(msgs_tan, c)
+        diff = H.mobius_add(hbuf[src], -hbuf[dst], c)
+        diff_tan = H.log_map_zero(diff, c)
+        av = params["attn_vec"][rel]  # [E, H, hd]
+        scores = jax.nn.leaky_relu(
+            jnp.einsum("ehf,ef->eh", av, diff_tan), negative_slope=0.2)
+
+        def head_agg(head_scores, head_msgs):
+            alpha = segment_softmax(head_scores, dst, mask, rows)
+            return H.einstein_midpoint_segments(
+                head_msgs, alpha * mask, dst, rows, c)
+
+        agg_heads = jax.vmap(head_agg, in_axes=(1, 1), out_axes=0)(
+            scores, msgs_ball)  # [H, rows, hd]
+        avg_tan = jnp.mean(H.log_map_zero(agg_heads, c), axis=0)
+        return H.exp_map_zero(avg_tan, c)
+
     if isinstance(impl, HaloImpl):
-        # boundary halo: attention logits need ball points of BOTH ends,
-        # but dst is always local and the segment softmax + per-head
-        # midpoint reduce over destination segments — shard-local; the
-        # same (max, sumexp) locality as the sharded CE partials
         from regcn_tpu.parallel.halo import halo_local_aggregate
-
-        def local_fn(hbuf, src, dst, mask, rel, norm, has_in, rows):
-            tan = H.log_map_zero(hbuf, c)
-            w_e = params["rel_weight"][rel]
-            msgs_tan = jnp.einsum("ed,ehdf->ehf", tan[src], w_e)
-            msgs_ball = H.exp_map_zero(msgs_tan, c)
-            diff = H.mobius_add(hbuf[src], -hbuf[dst], c)
-            diff_tan = H.log_map_zero(diff, c)
-            av = params["attn_vec"][rel]
-            scores = jax.nn.leaky_relu(
-                jnp.einsum("ehf,ef->eh", av, diff_tan), negative_slope=0.2)
-
-            def head_agg(head_scores, head_msgs):
-                alpha = segment_softmax(head_scores, dst, mask, rows)
-                return H.einstein_midpoint_segments(
-                    head_msgs, alpha * mask, dst, rows, c)
-
-            agg_heads = jax.vmap(head_agg, in_axes=(1, 1), out_axes=0)(
-                scores, msgs_ball)
-            avg_tan = jnp.mean(H.log_map_zero(agg_heads, c), axis=0)
-            return H.exp_map_zero(avg_tan, c)
 
         h_new = halo_local_aggregate(impl.mesh, h_hyper, require_halo(snap),
                                      local_fn)
     else:
-        src_tan = h_tan[snap.src]  # [E, d]
-
-        w_e = params["rel_weight"][snap.rel]  # [E, H, d, hd]
-        msgs_tan = jnp.einsum("ed,ehdf->ehf", src_tan, w_e)  # [E, H, hd]
-        msgs_ball = H.exp_map_zero(msgs_tan, c)
-
-        diff = H.mobius_add(h_hyper[snap.src], -h_hyper[snap.dst], c)
-        diff_tan = H.log_map_zero(diff, c)  # [E, d]; head_dim == d so no slice
-        av = params["attn_vec"][snap.rel]  # [E, H, hd]
-        scores = jax.nn.leaky_relu(
-            jnp.einsum("ehf,ef->eh", av, diff_tan), negative_slope=0.2
-        )
-
-        # per-node, per-head masked segment softmax + Einstein midpoint
-        def head_agg(head_scores, head_msgs):
-            alpha = segment_softmax(head_scores, snap.dst, snap.edge_mask, n)
-            return H.einstein_midpoint_segments(head_msgs, alpha * snap.edge_mask, snap.dst, n, c)
-
-        agg_heads = jax.vmap(head_agg, in_axes=(1, 1), out_axes=0)(scores, msgs_ball)  # [H, N, hd]
-        # average heads in tangent space (ref :867-871)
-        avg_tan = jnp.mean(H.log_map_zero(agg_heads, c), axis=0)
-        h_new = H.exp_map_zero(avg_tan, c)
+        h_new = local_fn(h_hyper, snap.src, snap.dst, snap.edge_mask,
+                         snap.rel, snap.in_deg_norm, snap.has_in_edge, n)
 
     if "loop_w" in params:
         loop_ball = H.exp_map_zero(h_tan @ params["loop_w"], c)

@@ -56,11 +56,22 @@ def load():
 def build_snapshot_arrays(triples, num_nodes, num_rels, edge_pad, rc_pad,
                           rc_src_only=0):
     """Native fast path; raises RuntimeError if the extension is absent."""
+    global _native
     mod = load()
     if mod is None:
         raise RuntimeError(
             "native graph builder not built; run `make -C native` or use the "
             "numpy path"
         )
-    return mod.build_snapshot_arrays(triples, num_nodes, num_rels, edge_pad,
-                                     rc_pad, rc_src_only)
+    try:
+        return mod.build_snapshot_arrays(triples, num_nodes, num_rels,
+                                         edge_pad, rc_pad, rc_src_only)
+    except TypeError:
+        # a stale _graph_builder.so predating the rc_src_only arg rejects
+        # the 6-arg call; demote to the numpy path loudly instead of
+        # failing every build_snapshot() with an opaque TypeError
+        log.warning(
+            "stale native/_graph_builder.so (old signature) — rebuild with "
+            "`make -C native`; falling back to the numpy snapshot builder")
+        _native = None
+        raise RuntimeError("stale native graph builder; rebuild required")

@@ -50,7 +50,11 @@ def test_scatter_add_sorted_matches_segment_sum(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-5, atol=1e-5)
 
 
-def test_rgcn_aggregate_pallas_matches_xla(rng, tiny_graph):
+@pytest.mark.parametrize("dst_sorted", [False, True])
+def test_rgcn_aggregate_pallas_matches_xla(rng, tiny_graph, dst_sorted):
+    """dst_sorted=True is the branch the baseline union layer takes for
+    builder-produced snapshots (Snapshot.dst_sorted) — the skip-argsort
+    aliasing needs direct coverage, not just via the hyperbolic path."""
     from jax.experimental.pallas import tpu as pltpu
 
     from regcn_tpu.data import build_snapshot
@@ -60,6 +64,7 @@ def test_rgcn_aggregate_pallas_matches_xla(rng, tiny_graph):
     n, r, triples = tiny_graph
     d = 16
     snap = build_snapshot(triples, n, r, edge_bucket=64)
+    assert snap.dst_sorted  # builder output is the canonical sorted order
     h = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
     rel_emb = jnp.asarray(rng.normal(size=(2 * r, d)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32))
@@ -68,7 +73,7 @@ def test_rgcn_aggregate_pallas_matches_xla(rng, tiny_graph):
             jnp.asarray(snap.in_deg_norm))
     expected = _rgcn_aggregate_xla(*args)
     with pltpu.force_tpu_interpret_mode():
-        got = rgcn_aggregate_pallas(*args)
+        got = rgcn_aggregate_pallas(*args, dst_sorted=dst_sorted)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-4, atol=1e-4)
 
 

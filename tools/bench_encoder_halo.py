@@ -5,8 +5,8 @@ SUM-path aggregation variants; this one times the full encoder cell
 (``hyperbolic/layers.encoder_cell``) for each of the four hyperbolic
 encoders, unsharded vs ``dist_agg='halo'`` at G = 2/4/8, on one
 ICEWS-like snapshot. On the shared-host virtual CPU mesh the meaningful
-number is RETENTION (T_G / T_1, ideal 1.0 — see the platform note in
-bench_scaling.py); comm volume is identical to the sum path's measured
+number is RETENTION (T_1 / T_G as a time ratio, ideal 1.0 — see the
+platform note in bench_scaling.py); comm volume is identical to the sum path's measured
 halo stats because every encoder exchanges exactly the same source-row
 halo (destination-local weighted segment reductions).
 

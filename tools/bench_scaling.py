@@ -21,8 +21,9 @@ Interpretation depends on the platform:
   the host's cores, and the single-device XLA CPU backend already
   multithreads — so TOTAL throughput can never exceed 1x the unsharded
   run and "efficiency" has a hard ceiling of 1/G by construction. The
-  meaningful virtual-mesh numbers are ``retention`` (T_G / T_1, ideal
-  1.0 = sharding adds no overhead at constant host resources) and the
+  meaningful virtual-mesh numbers are ``retention`` (T_1 / T_G as a
+  time ratio, i.e. throughput_G / throughput_1; ideal 1.0 = sharding
+  adds no overhead at constant host resources) and the
   communication VOLUME stats; real-chip efficiency is projected by the
   analytic model in docs/BENCHMARKS.md. Both are reported.
 
@@ -182,10 +183,12 @@ def bench_shape(num_ents, num_rels, num_edges, d=200, steps=20):
         report[variant] = {
             str(g): {
                 "per_s": round(v, 1),
-                # T_G/(T_1*G): the real-multichip efficiency metric;
-                # on a shared-host virtual mesh its ceiling is 1/G
+                # throughput_G/(throughput_1*G): the real-multichip
+                # efficiency metric; on a shared-host virtual mesh its
+                # ceiling is 1/G
                 "scaling_efficiency": round(v / (base * g), 3) if base else None,
-                # T_G/T_1: virtual-mesh overhead retention (ideal 1.0)
+                # T_1/T_G (= throughput_G/throughput_1): virtual-mesh
+                # overhead retention, ideal 1.0
                 "retention_vs_1shard": round(v / base, 3) if base else None,
             }
             for g, v in res.items()
