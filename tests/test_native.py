@@ -25,6 +25,30 @@ def test_native_matches_numpy(rng, tiny_graph):
     assert a.num_edges == b.num_edges and a.num_triples == b.num_triples
 
 
+def test_stale_native_signature_falls_back_to_numpy(rng, tiny_graph,
+                                                    monkeypatch):
+    """A stale _graph_builder.so (old 5-arg PyArg format) must demote to
+    the numpy builder with a rebuild hint, not fail every
+    build_snapshot() with an opaque TypeError — and use_native=True must
+    still raise loudly."""
+    class _Stale:
+        @staticmethod
+        def build_snapshot_arrays(*args):
+            raise TypeError("function takes exactly 5 arguments (6 given)")
+
+    monkeypatch.setattr(native, "_native", _Stale())
+    monkeypatch.setattr(native, "_tried", True)
+    n, r, triples = tiny_graph
+    snap = build_snapshot(triples, n, r, edge_bucket=64)  # numpy fallback
+    ref = build_snapshot(triples, n, r, edge_bucket=64, use_native=False)
+    np.testing.assert_array_equal(snap.src, ref.src)
+    assert snap.num_edges == ref.num_edges
+    with pytest.raises(RuntimeError, match="stale"):
+        # the fallback above reset the cached module; re-prime the stale one
+        monkeypatch.setattr(native, "_native", _Stale())
+        build_snapshot(triples, n, r, edge_bucket=64, use_native=True)
+
+
 @needs_native
 def test_native_is_faster_on_large_snapshot(rng):
     n_ents, n_rels, m = 20000, 200, 50000
