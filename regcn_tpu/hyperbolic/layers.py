@@ -145,7 +145,8 @@ def hyperbolic_union_layer(
     h_new = jnp.clip(h_new, -CLAMP, CLAMP)
     h_new = rrelu(h_new, None, train=False)  # F.rrelu default training=False
     h_new = _dropout(h_new, dropout, rng, train)
-    return H.exp_map_zero(h_new, c)
+    # dtype-preserving (CLAUDE invariant): fp32 islands inside, carry out
+    return H.exp_map_zero(h_new, c).astype(h_hyper.dtype)
 
 
 def union_layer_tangent(
@@ -299,7 +300,8 @@ def fhnn_layer(
         t = H.log_map_zero(h_new, c)
         t = _dropout(t, dropout, rng, train)
         h_new = H.exp_map_zero(t, c)
-    return h_new
+    # dtype-preserving (CLAUDE invariant): fp32 islands inside, carry out
+    return h_new.astype(h_hyper.dtype)
 
 
 # --------------------------------------------------------------------- LGCN
@@ -379,7 +381,8 @@ def lgcn_layer(
     h_new = jnp.clip(h_new, -CLAMP, CLAMP)
     h_new = rrelu(h_new, None, train=False)
     h_new = _dropout(h_new, dropout, rng, train)
-    return H.exp_map_zero(h_new, c)
+    # dtype-preserving (CLAUDE invariant): fp32 islands inside, carry out
+    return H.exp_map_zero(h_new, c).astype(h_hyper.dtype)
 
 
 # --------------------------------------------------------------------- HGAT
@@ -475,7 +478,8 @@ def hgat_layer(
         t = H.log_map_zero(h_new, c)
         t = _dropout(t, dropout, rng, train)
         h_new = H.exp_map_zero(t, c)
-    return h_new
+    # dtype-preserving (CLAUDE invariant): fp32 islands inside, carry out
+    return h_new.astype(h_hyper.dtype)
 
 
 # --------------------------------------------------------------------- cells

@@ -278,7 +278,9 @@ def lorentz_centroid_segments(
     )
     empty = (wsum <= eps)[:, None]
     centroid = jnp.where(empty, origin, centroid)
-    return lorentz_normalize(centroid, c, eps)
+    # fp32 island: the fp32 weights/origin upcast the reduction; cast back
+    # so the op is dtype-preserving under compute_dtype=bfloat16
+    return lorentz_normalize(centroid, c, eps).astype(emb.dtype)
 
 
 def lorentz_distance(x: jax.Array, y: jax.Array, c, eps: float = EPS) -> jax.Array:
@@ -319,4 +321,6 @@ def einstein_midpoint_segments(
     num = jax.ops.segment_sum(wl[:, None] * points, segment_ids, num_segments=num_segments)
     mid = num / denom[:, None]
     mid = jnp.where((wsum <= 0)[:, None], 0.0, mid)
-    return project_to_ball(mid, c, eps)
+    # fp32 island: fp32 weights upcast the reduction; cast back so the op
+    # is dtype-preserving under compute_dtype=bfloat16
+    return project_to_ball(mid, c, eps).astype(points.dtype)

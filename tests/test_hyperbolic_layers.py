@@ -45,6 +45,26 @@ def test_encoder_outputs_in_ball_and_differentiable(graph_setup, encoder):
     assert np.isfinite(gn) and gn > 0, f"{encoder} gradient dead or NaN"
 
 
+@pytest.mark.parametrize("encoder", L.ENCODERS)
+def test_encoder_cell_preserves_bfloat16(graph_setup, encoder):
+    """Regression: every encoder cell must be dtype-preserving under
+    compute_dtype=bfloat16 (fp32 islands inside, input dtype out) — a
+    f32 output breaks the fused-epoch scan carry. Before round 4 this
+    held only for hyperbolic_uvrgcn: the Einstein-midpoint / Lorentz-
+    centroid aggregations upcast through their fp32 weights, so bf16
+    training CRASHED for fhnn/lgcn/hgat."""
+    n, r, d, snap, h, rel = graph_setup
+    params = L.init_encoder_cell(
+        jax.random.PRNGKey(0), encoder, d, 2 * r, n_layers=2, n_bases=4,
+        num_heads=4, self_loop=True,
+    )
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    out = L.encoder_cell(params, encoder, h.astype(jnp.bfloat16),
+                         rel.astype(jnp.bfloat16), snap, C, n_bases=4)
+    assert out.dtype == jnp.bfloat16, f"{encoder} upcast to {out.dtype}"
+    assert np.all(np.isfinite(np.asarray(out, dtype=np.float32)))
+
+
 def test_union_layer_padding_invariance(graph_setup):
     """Extra padded edges must not change the output."""
     n, r, d, snap, h, rel = graph_setup
