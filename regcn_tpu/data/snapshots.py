@@ -167,9 +167,11 @@ def build_snapshot(
                         triples, num_nodes, num_rels, E, M,
                         1 if rc_mode == "src" else 0)
                 )
-            except RuntimeError:
+            except _native.StaleNativeError:
                 # stale .so demoted by native.build_snapshot_arrays (already
-                # logged a rebuild hint); fall through to the numpy path
+                # logged a rebuild hint); fall through to the numpy path.
+                # Other RuntimeErrors are genuine native failures and
+                # propagate — silent numpy fallback would hide them.
                 if use_native is True:
                     raise
             else:

@@ -314,8 +314,12 @@ def einstein_midpoint_segments(
     """
     wsum = jax.ops.segment_sum(weights, segment_ids, num_segments=num_segments)
     w = weights / (wsum[segment_ids] + eps)
-    sq = jnp.sum(points * points, axis=-1)
-    lam = 2.0 / (1.0 - c * sq + eps)
+    # fp32 island for the conformal factor: 1 - c*||x||^2 cancels
+    # catastrophically in bf16 near the ball boundary (~0.008 resolution
+    # near 1), quantizing the aggregation weights
+    pf = points.astype(jnp.float32)
+    sq = jnp.sum(pf * pf, axis=-1)
+    lam = 2.0 / (1.0 - jnp.asarray(c, jnp.float32) * sq + eps)
     wl = w * lam
     denom = jax.ops.segment_sum(wl, segment_ids, num_segments=num_segments) + eps
     num = jax.ops.segment_sum(wl[:, None] * points, segment_ids, num_segments=num_segments)

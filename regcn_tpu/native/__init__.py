@@ -19,6 +19,10 @@ _native = None
 _tried = False
 
 
+class StaleNativeError(RuntimeError):
+    """A stale _graph_builder.so was demoted; numpy fallback is safe."""
+
+
 def _repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -66,12 +70,18 @@ def build_snapshot_arrays(triples, num_nodes, num_rels, edge_pad, rc_pad,
     try:
         return mod.build_snapshot_arrays(triples, num_nodes, num_rels,
                                          edge_pad, rc_pad, rc_src_only)
-    except TypeError:
+    except TypeError as exc:
         # a stale _graph_builder.so predating the rc_src_only arg rejects
-        # the 6-arg call; demote to the numpy path loudly instead of
-        # failing every build_snapshot() with an opaque TypeError
+        # the 6-arg call with an arity complaint; demote to the numpy path
+        # loudly instead of failing every build_snapshot() with an opaque
+        # TypeError. Any OTHER TypeError (e.g. wrong-typed caller input)
+        # is a real bug and must propagate.
+        msg = str(exc)
+        if not ("takes exactly" in msg or "argument" in msg):
+            raise
         log.warning(
             "stale native/_graph_builder.so (old signature) — rebuild with "
             "`make -C native`; falling back to the numpy snapshot builder")
         _native = None
-        raise RuntimeError("stale native graph builder; rebuild required")
+        raise StaleNativeError(
+            "stale native graph builder; rebuild required") from exc

@@ -4,7 +4,7 @@ These are the XLA-baseline equivalents of DGL's ``g.update_all(msg,
 fn.sum)`` C++/CUDA scatter kernels that the reference delegates to
 (ref:rgcn/layers.py:219-220). On TPU a segment-sum lowers to a sorted
 scatter-add; the Pallas fast path lives in
-:mod:`regcn_tpu.ops.rgcn_scatter`.
+:mod:`regcn_tpu.ops.pallas_rgcn`.
 """
 
 from __future__ import annotations

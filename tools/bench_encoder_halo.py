@@ -47,14 +47,24 @@ def _ensure_mesh():
     os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 
-def _timed(fn, arg, steps=5):
+def _timed(fn, arg, steps=5, repeats=7):
+    """Median-of-repeats per-call time (+ min/max across repeats).
+
+    Round-5 methodology fix: a single 5-step average is noisy on a
+    shared 2-core host (round 4's uvrgcn column was non-monotonic);
+    the median over >=7 repeat rounds is robust to transient host load.
+    """
     out = fn(arg)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fn(arg)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / steps
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = fn(arg)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / steps)
+    times.sort()
+    return times[len(times) // 2], times[0], times[-1]
 
 
 def main():
@@ -87,8 +97,10 @@ def main():
         base_fn = jax.jit(lambda hh, p=params, e=enc: HL.encoder_cell(
             p, e, hh, rel_emb, snap, C, n_bases=NB, num_heads=HEADS,
             impl="xla"))
-        t1 = _timed(base_fn, h)
-        row = {"t1_s": round(t1, 5), "halo": {}}
+        t1, t1_lo, t1_hi = _timed(base_fn, h)
+        row = {"t1_s": round(t1, 5),
+               "t1_minmax_s": [round(t1_lo, 5), round(t1_hi, 5)],
+               "halo": {}}
         for g in (2, 4, 8):
             if g > len(jax.devices()):
                 break
@@ -100,9 +112,10 @@ def main():
                          HL.encoder_cell(p, e, hh, rel_emb, s, C,
                                          n_bases=NB, num_heads=HEADS,
                                          impl=HaloImpl(m)))
-            tg = _timed(fn, h)
+            tg, tg_lo, tg_hi = _timed(fn, h)
             row["halo"][str(g)] = {
                 "tG_s": round(tg, 5),
+                "tG_minmax_s": [round(tg_lo, 5), round(tg_hi, 5)],
                 "retention": round(t1 / tg, 3),
                 "boundary_fraction_of_N": round(
                     stats["boundary_fraction_of_N"], 4),
