@@ -267,6 +267,12 @@ def make_hyperbolic_configs(args, data):
     return cfg, tc
 
 
+def selection_metric(args) -> str:
+    """--relation-evaluation selects the best checkpoint on relation MRR
+    (ref:src/main.py:266, ref:hyperbolic_main.py:672)."""
+    return "rel_raw" if args.relation_evaluation else "ent_raw"
+
+
 def run_hyperbolic(args) -> dict:
     from regcn_tpu.data import load_data
     from regcn_tpu.hyperbolic.train import HyperbolicTrainer
@@ -278,12 +284,15 @@ def run_hyperbolic(args) -> dict:
         triple_batch_mode=args.triple_batch_mode,
         curvature_warmup_epochs=args.curvature_warmup_epochs,
         mesh=make_cli_mesh(args), dist_agg=args.dist_agg,
+        run_analysis=args.run_analysis,
     )
     ckpt = args.checkpoint or os.path.join(args.models_dir, "hyp-" + model_name(args))
     best, info = trainer.fit(patience=args.patience, checkpoint_path=ckpt,
-                             resume=args.resume)
+                             resume=args.resume,
+                             selection_metric=selection_metric(args))
     logging.info("best valid MRR (raw): %.4f", info["best_valid_mrr_raw"])
-    stats = trainer.test(best)
+    stats = trainer.test(best, multi_step=args.multi_step, topk=args.topk,
+                         relation_evaluation=args.relation_evaluation)
     result = {
         k: {"mrr": s.mrr, **{f"hits@{h}": v for h, v in s.hits.items()}}
         for k, s in stats.items()
@@ -320,9 +329,11 @@ def run_hisres(args) -> dict:
     )
     trainer = HisResTrainer(cfg, tc, data, mesh=make_cli_mesh(args),
                             dist_agg=args.dist_agg,
-                            rel_window_mode=args.rel_window_mode)
+                            rel_window_mode=args.rel_window_mode,
+                            run_analysis=args.run_analysis)
     ckpt = args.checkpoint or os.path.join(args.models_dir, "hisres-" + model_name(args))
-    best, info = trainer.fit(checkpoint_path=ckpt, resume=args.resume)
+    best, info = trainer.fit(checkpoint_path=ckpt, resume=args.resume,
+                             selection_metric=selection_metric(args))
     logging.info("best valid MRR (raw): %.4f", info["best_valid_mrr_raw"])
     stats = trainer.test(best, multi_step=args.multi_step, topk=args.topk,
                          relation_evaluation=args.relation_evaluation)
@@ -398,7 +409,7 @@ def run_single(args) -> dict:
     data = load_data(args.dataset, args.data_dir, load_static=args.add_static_graph)
     cfg = make_experiment(args, data)
     trainer = Trainer(cfg, data, impl=args.impl, mesh=make_cli_mesh(args),
-                      dist_agg=args.dist_agg)
+                      dist_agg=args.dist_agg, run_analysis=args.run_analysis)
     ckpt = args.checkpoint or os.path.join(args.models_dir, model_name(args))
 
     if args.mode == "test":
@@ -406,10 +417,12 @@ def run_single(args) -> dict:
         state, meta = restore_checkpoint(ckpt, tpl)
         logging.info("loaded checkpoint %s (meta %s)", ckpt, meta)
     else:
-        state, info = trainer.fit(checkpoint_path=ckpt, resume=args.resume)
+        state, info = trainer.fit(checkpoint_path=ckpt, resume=args.resume,
+                                  selection_metric=selection_metric(args))
         logging.info("best valid MRR (raw): %.4f", info["best_valid_mrr_raw"])
 
-    stats = trainer.test(state, multi_step=args.multi_step, topk=args.topk)
+    stats = trainer.test(state, multi_step=args.multi_step, topk=args.topk,
+                         relation_evaluation=args.relation_evaluation)
     result = {
         k: {"mrr": s.mrr, **{f"hits@{h}": v for h, v in s.hits.items()}}
         for k, s in stats.items()
@@ -514,6 +527,15 @@ def main(argv=None):
 
     use_fast_prng()
     args = build_parser().parse_args(argv)
+    # flags a mode cannot honor must ERROR, not silently no-op
+    if args.mode in ("bench", "entity"):
+        for flag, name in ((args.multi_step, "--multi-step"),
+                           (args.relation_evaluation, "--relation-evaluation"),
+                           (args.run_analysis, "--run-analysis")):
+            if flag:
+                raise SystemExit(
+                    f"{name} applies to the train/test/hyperbolic/hisres "
+                    f"modes, not '{args.mode}'")
     if args.mode == "grid":
         args.mode = "train"
         return run_grid(args)

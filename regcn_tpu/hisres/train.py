@@ -80,7 +80,8 @@ class HisResTrainer:
     def __init__(self, cfg: HisResConfig, tc: TrainConfig, data: TKGData,
                  his_edge_bucket: int = 4096, his_max_edges: Optional[int] = 65536,
                  mesh=None, dist_agg: str = "gspmd",
-                 rel_window_mode: str = "full"):
+                 rel_window_mode: str = "full",
+                 run_analysis: bool = False):
         if dist_agg not in ("gspmd", "halo"):
             raise ValueError(f"dist_agg must be 'gspmd' or 'halo', got {dist_agg!r}")
         if dist_agg == "halo":
@@ -107,6 +108,11 @@ class HisResTrainer:
             check_entity_divisibility(cfg.num_ents, mesh)
         self.num_rels = data.num_rels
         self.num_nodes = data.num_nodes
+        # --run-analysis: per-epoch gradient/embedding stats during fit()
+        # (ref:hisres_main.py:255 analysis mode, per-epoch here because
+        # the fused epoch precludes mid-epoch host logging)
+        self.run_analysis = run_analysis
+        self._analysis_grad = None
         self.his_edge_bucket = his_edge_bucket
         self.his_max_edges = his_max_edges
         self.train_list = split_by_time(data.train)
@@ -193,6 +199,7 @@ class HisResTrainer:
             )
 
         self.train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._loss_fn = loss_fn  # exposed for --run-analysis grad stats
 
         def predict_step(state, history, history_gg, triples, inv_triples, mask,
                          hg_raw, hg_inv, rel_vocab):
@@ -632,10 +639,40 @@ class HisResTrainer:
             window.append(snap)
         return {k: metrics.stat_ranks(v) for k, v in ranks.items()}
 
-    def fit(self, state=None, checkpoint_path=None, resume: bool = False):
+    def analysis_record(self, state) -> dict:
+        """--run-analysis sample: gradient norms on the first full
+        training window + entity-embedding norms (ref:hisres_main.py:255
+        analysis mode; per-epoch, see __init__)."""
+        from regcn_tpu.utils.profiling import embedding_stats, gradient_stats
+
+        hlen = self.tc.train_history_len
+        i = min(max(hlen, 1), len(self.train_list) - 1)
+        lo = max(0, i - hlen)
+        window = self.train_list[lo:i]
+        history = self._history(window, key=(lo, i))
+        history_gg = self._history(union_snapshots(window), key=(lo, i, "gg"))
+        raw, inv, mask, hg_raw, hg_inv, rel_vocab = self._batch(
+            self.train_list[i], i)
+        if self._analysis_grad is None:
+            self._analysis_grad = jax.jit(jax.grad(self._loss_fn, has_aux=True))
+        grads, _ = self._analysis_grad(
+            state.params, state.model_state, history, history_gg, raw, inv,
+            mask, hg_raw, hg_inv, rel_vocab, jax.random.PRNGKey(0))
+        rec = gradient_stats(grads)
+        rec.update(embedding_stats(state.params["dynamic_emb"], "entity"))
+        return rec
+
+    def fit(self, state=None, checkpoint_path=None, resume: bool = False,
+            selection_metric: str = "ent_raw"):
         """``resume=True``: restore the full state from ``checkpoint_path``
-        and continue from the saved epoch."""
+        and continue from the saved epoch. ``selection_metric``:
+        "ent_raw" (default) or "rel_raw" (--relation-evaluation
+        best-checkpoint selection, cf. ref:hyperbolic_main.py:672)."""
         tc = self.tc
+        if selection_metric not in ("ent_raw", "rel_raw"):
+            raise ValueError(
+                f"selection_metric must be 'ent_raw' or 'rel_raw', got "
+                f"{selection_metric!r}")
         if state is None:
             state = self.init_state(jax.random.PRNGKey(tc.seed))
         start_epoch, best_mrr, best_epoch = 0, 0.0, -1
@@ -662,10 +699,15 @@ class HisResTrainer:
             stats = self.evaluate(state, self.train_list, self.valid_list,
                                   ent_f, rel_f, time_offset=len(self.train_list),
                                   cache_key="valid")
-            mrr = stats["ent_raw"].mrr
+            mrr = stats[selection_metric].mrr
             log.info("epoch %03d | e/r/s %.4f/%.4f/%.4f | MRR %.4f | %.1fs",
                      epoch, losses["entity"], losses["relation"], losses["static"],
                      mrr, time.time() - t0)
+            if self.run_analysis:
+                rec = self.analysis_record(state)
+                log.info("analysis %03d | grad global %.4e | ent norm %.3f±%.3f",
+                         epoch, rec["global_norm"], rec["entity_norm_mean"],
+                         rec["entity_norm_std"])
             if mrr > best_mrr:
                 # deep copy: the next epoch donates `state`'s buffers
                 from regcn_tpu.train.state import copy_state
@@ -684,7 +726,8 @@ class HisResTrainer:
             from regcn_tpu.train.state import wait_for_checkpoints
 
             wait_for_checkpoints()  # commit in-flight async saves
-        return best_state, {"best_valid_mrr_raw": best_mrr}
+        return best_state, {"best_valid_mrr_raw": best_mrr,
+                            "selection_metric": selection_metric}
 
     def test(self, state, multi_step: bool = False, topk: int = 10,
              relation_evaluation: bool = False):

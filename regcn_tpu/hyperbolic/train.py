@@ -109,6 +109,7 @@ class HyperbolicTrainer:
         curvature_warmup_epochs: int = 0,
         mesh=None,
         dist_agg: str = "gspmd",
+        run_analysis: bool = False,
     ):
         if triple_batch_mode not in ("accumulate", "per_chunk"):
             raise ValueError(
@@ -182,6 +183,12 @@ class HyperbolicTrainer:
         self._history_cache: Dict = {}
         self._store = None
         self._train_est_store = None
+        # --run-analysis: per-epoch gradient/embedding/radius/curvature
+        # stats during fit() (ref:hyperbolic_main.py:624-625 logs every
+        # 100 snapshots; the fused epoch precludes mid-epoch host logging,
+        # so one representative sample per epoch)
+        self.run_analysis = run_analysis
+        self._analysis_grad = None
         self._build_steps()
 
     # --------------------------------------------------------------- jitted
@@ -263,6 +270,7 @@ class HyperbolicTrainer:
             )
 
         self.train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._loss_fn = loss_fn  # exposed for --run-analysis grad stats
 
         def accum_grad_step(state: HypTrainState, acc, history, triples, mask,
                             cmax, rb=None, tans=None):
@@ -619,6 +627,39 @@ class HyperbolicTrainer:
 
         return state, {k: v / max(n, 1) for k, v in sums.items()}
 
+    # ------------------------------------------------------------- analysis
+    def analysis_record(self, state, epoch: int = 0) -> Dict[str, float]:
+        """--run-analysis sample: gradient norms on the first full
+        training window + entity embedding norms + static-radius and
+        curvature stats (ref:hyperbolic_main.py:624-625,
+        ref:hyperbolic_model.py:851-882 — per-epoch instead of the
+        reference's every-100-snapshots, which the fused epoch precludes)."""
+        from regcn_tpu.utils.profiling import embedding_stats, gradient_stats
+
+        tc, cfg = self.tc, self.cfg
+        i = min(tc.train_history_len, len(self.train_list) - 1)
+        lo = max(0, i - tc.train_history_len)
+        history = self._history(self.train_list[lo:i], cache_key=(lo, i))
+        triples, mask = pad_triples(self.train_list[i], self.num_rels,
+                                    tc.triple_bucket)
+        rb = self._retrieval(triples, mask, i)
+        est_inputs = (state.est_state, rb) if (cfg.use_est and rb is not None) else None
+        cmax = jnp.asarray(self._curvature_max(epoch), jnp.float32)
+        if self._analysis_grad is None:
+            self._analysis_grad = jax.jit(
+                jax.grad(self._loss_fn, has_aux=True))
+        grads, _ = self._analysis_grad(
+            state.params, state.model_state, history, jnp.asarray(triples),
+            jnp.asarray(mask), jax.random.PRNGKey(0), cmax, est_inputs, None)
+        rec = gradient_stats(grads)
+        rec.update(embedding_stats(state.params["dynamic_emb"], "entity"))
+        radius = np.asarray(jax.device_get(state.params["radius_static"]))
+        rec["radius_static_mean"] = float(radius.mean())
+        rec["radius_static_std"] = float(radius.std())
+        rec["curvature"] = float(jax.device_get(
+            hmodel.get_curvature(state.params, cfg, cmax)))
+        return rec
+
     # ------------------------------------------------------------------ eval
     def evaluate_fused(self, state, history_list, eval_list, ent_filters=None,
                        rel_filters=None, time_offset: int = 0, cache_key=None):
@@ -663,7 +704,8 @@ class HyperbolicTrainer:
 
     def evaluate(self, state, history_list, eval_list, ent_filters=None,
                  rel_filters=None, time_offset: int = 0,
-                 multi_step: bool = False, topk: int = 10, cache_key=None):
+                 multi_step: bool = False, topk: int = 10,
+                 relation_evaluation: bool = False, cache_key=None):
         # multi-step under dist_agg='halo': the per-step host loop below
         # rebuilds each window through self._history, which attaches the
         # boundary-halo partition of every snapshot INCLUDING the
@@ -684,7 +726,7 @@ class HyperbolicTrainer:
             if multi_step:
                 # feed top-k predictions back into the window (ref baseline
                 # multi-step; needs the dense scores on host)
-                from regcn_tpu.train.loop import construct_snap
+                from regcn_tpu.train.loop import construct_snap, construct_snap_r
                 from regcn_tpu.train import metrics as _m
 
                 s_ob, s_rel = self.predict_step(
@@ -700,7 +742,12 @@ class HyperbolicTrainer:
                 ranks["rel_filter"].append(_m.filtered_ranks(
                     s_rel, tq[:, [0, 2]], tq[:, 1],
                     rel_filters[t] if rel_filters else None))
-                pred = construct_snap(tq, self.num_rels, s_ob, topk)
+                # relation mode feeds predicted-relation snapshots instead
+                # (ref:hyperbolic_main.py:135-142)
+                if relation_evaluation:
+                    pred = construct_snap_r(tq, self.num_rels, s_rel, topk)
+                else:
+                    pred = construct_snap(tq, self.num_rels, s_ob, topk)
                 if len(pred):
                     window.pop(0)
                     window.append(pred)
@@ -722,12 +769,20 @@ class HyperbolicTrainer:
 
     # ------------------------------------------------------------------- fit
     def fit(self, state=None, n_epochs=None, patience: int = 20,
-            checkpoint_path=None, resume: bool = False):
+            checkpoint_path=None, resume: bool = False,
+            selection_metric: str = "ent_raw"):
         """Training with early stopping (ref :509, :679-681).
 
         ``resume=True``: restore the full state (params + optimizer +
-        EST buffers + epoch) from ``checkpoint_path`` and continue."""
+        EST buffers + epoch) from ``checkpoint_path`` and continue.
+        ``selection_metric``: "ent_raw" (default) or "rel_raw" — the
+        reference's --relation-evaluation best-checkpoint selection
+        (ref:hyperbolic_main.py:672)."""
         tc = self.tc
+        if selection_metric not in ("ent_raw", "rel_raw"):
+            raise ValueError(
+                f"selection_metric must be 'ent_raw' or 'rel_raw', got "
+                f"{selection_metric!r}")
         if state is None:
             state = self.init_state(jax.random.PRNGKey(tc.seed))
         n_epochs = n_epochs or tc.n_epochs
@@ -759,9 +814,17 @@ class HyperbolicTrainer:
             stats = self.evaluate(state, self.train_list, self.valid_list,
                                   ent_f, rel_f, time_offset=len(self.train_list),
                                   cache_key="valid")
-            mrr = stats["ent_raw"].mrr
-            history_rows.append({"epoch": epoch, "losses": losses,
-                                 "valid_mrr_raw": mrr, "epoch_time_s": dt})
+            mrr = stats[selection_metric].mrr
+            row = {"epoch": epoch, "losses": losses,
+                   "valid_mrr_raw": stats["ent_raw"].mrr, "epoch_time_s": dt}
+            if self.run_analysis:
+                row["analysis"] = rec = self.analysis_record(state, epoch)
+                log.info("analysis %03d | grad global %.4e | ent norm "
+                         "%.3f±%.3f | radius %.3f±%.3f | c %.5f",
+                         epoch, rec["global_norm"], rec["entity_norm_mean"],
+                         rec["entity_norm_std"], rec["radius_static_mean"],
+                         rec["radius_static_std"], rec["curvature"])
+            history_rows.append(row)
             log.info("epoch %03d | e/r/s/rad %.4f/%.4f/%.4f/%.4f | MRR %.4f | %.1fs",
                      epoch, losses["entity"], losses["relation"], losses["static"],
                      losses["radius"], mrr, dt)
@@ -789,13 +852,21 @@ class HyperbolicTrainer:
             from regcn_tpu.train.state import wait_for_checkpoints
 
             wait_for_checkpoints()  # commit in-flight async saves
-        return best_state, {"best_valid_mrr_raw": best_mrr, "history": history_rows}
+        return best_state, {"best_valid_mrr_raw": best_mrr,
+                            "selection_metric": selection_metric,
+                            "history": history_rows}
 
-    def test(self, state):
+    def test(self, state, multi_step: bool = False, topk: int = 10,
+             relation_evaluation: bool = False):
+        """Test-split evaluation; ``multi_step``/``topk``/
+        ``relation_evaluation`` mirror the reference's hyperbolic test
+        entry (ref:hyperbolic_main.py:135-142)."""
         ent_f = build_answer_filters_by_time(self.data.test, self.num_rels, False)
         rel_f = build_answer_filters_by_time(self.data.test, self.num_rels, True)
         return self.evaluate(
             state, self.train_list + self.valid_list, self.test_list, ent_f, rel_f,
             time_offset=len(self.train_list) + len(self.valid_list),
+            multi_step=multi_step, topk=topk,
+            relation_evaluation=relation_evaluation,
             cache_key="test",
         )

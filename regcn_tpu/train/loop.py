@@ -70,13 +70,18 @@ def construct_snap_r(
 
 class Trainer:
     def __init__(self, cfg: ExperimentConfig, data: TKGData, impl: str = "xla",
-                 mesh=None, dist_agg: str = "gspmd"):
+                 mesh=None, dist_agg: str = "gspmd",
+                 run_analysis: bool = False):
         """``mesh`` (a jax.sharding.Mesh with a ``graph`` axis) enables
         multi-chip training: entity tables/optimizer moments row-sharded,
         fused epochs jitted over the mesh. ``dist_agg`` picks the
         cross-shard RGCN aggregation: ``"gspmd"`` (XLA-inserted
         all-gathers from sharding annotations) or ``"halo"`` (explicit
-        shard_map boundary-set exchange, parallel/halo.py)."""
+        shard_map boundary-set exchange, parallel/halo.py).
+        ``run_analysis`` logs per-epoch gradient + embedding statistics
+        during fit() (re-design of ref:src/main.py:184 analysis mode:
+        the fused epoch precludes mid-epoch host logging, so stats are
+        sampled once per epoch on the first full training window)."""
         if dist_agg not in ("gspmd", "halo"):
             raise ValueError(f"dist_agg must be 'gspmd' or 'halo', got {dist_agg!r}")
         if mesh is None and dist_agg == "halo":
@@ -162,6 +167,10 @@ class Trainer:
             return new_state, losses
 
         self.train_step = jax.jit(train_step, donate_argnums=(0,))
+        # --run-analysis: non-donating grad pass for per-epoch stats
+        self.run_analysis = run_analysis
+        self._loss_fn = loss_fn
+        self._analysis_grad = None
 
         def predict_step(state: TrainState, history, triples, mask):
             return recurrent.predict(
@@ -296,6 +305,30 @@ class Trainer:
             n += 1
         return state, {k: v / max(n, 1) for k, v in sums.items()}
 
+    # ------------------------------------------------------------- analysis
+    def analysis_record(self, state: TrainState) -> Dict[str, float]:
+        """--run-analysis sample: gradient norms on the first full
+        training window + entity-embedding row-norm stats (re-design of
+        ref:src/main.py:184 / ref:hyperbolic_main.py:624-625 — the fused
+        epoch precludes the reference's every-100-snapshots host logging,
+        so one representative grad pass per epoch)."""
+        from regcn_tpu.utils.profiling import embedding_stats, gradient_stats
+
+        tc = self.cfg.train
+        i = min(tc.train_history_len, len(self.train_list) - 1)
+        lo = max(0, i - tc.train_history_len)
+        history = self._history(self.train_list[lo:i], cache_key=(lo, i))
+        triples, mask = self._triples(i)
+        if self._analysis_grad is None:
+            self._analysis_grad = jax.jit(
+                jax.grad(self._loss_fn, has_aux=True))
+        grads, _ = self._analysis_grad(
+            state.params, state.model_state, history, jnp.asarray(triples),
+            jnp.asarray(mask), jax.random.PRNGKey(0))
+        rec = gradient_stats(grads)
+        rec.update(embedding_stats(state.params["dynamic_emb"], "entity"))
+        return rec
+
     # ------------------------------------------------------------------ eval
     def _eval_resources(self, history_list, eval_list, ent_filters,
                         rel_filters, cache_key=None):
@@ -367,9 +400,14 @@ class Trainer:
         rel_filters: Optional[List[AnswerFilter]] = None,
         multi_step: bool = False,
         topk: int = 10,
+        relation_evaluation: bool = False,
         cache_key=None,
     ) -> Dict[str, metrics.RankStats]:
-        """Rolling-window evaluation (ref:src/main.py:33-107)."""
+        """Rolling-window evaluation (ref:src/main.py:33-107).
+
+        ``relation_evaluation`` switches the multi-step feedback from
+        top-k ENTITY predictions to top-k RELATION predictions
+        (ref:src/main.py:91-95)."""
         if multi_step and self.dist_agg == "halo":
             raise ValueError(
                 "multi-step inference rebuilds history from predictions "
@@ -404,7 +442,10 @@ class Trainer:
                 ranks["rel_filter"].append(metrics.filtered_ranks(
                     s_rel, tq[:, [0, 2]], tq[:, 1],
                     rel_filters[t] if rel_filters else None))
-                pred = construct_snap(tq, self.num_rels, s_ob, topk)
+                if relation_evaluation:
+                    pred = construct_snap_r(tq, self.num_rels, s_rel, topk)
+                else:
+                    pred = construct_snap(tq, self.num_rels, s_ob, topk)
                 if len(pred):
                     window.pop(0)
                     window.append(pred)
@@ -433,9 +474,15 @@ class Trainer:
         checkpoint_path: Optional[str] = None,
         log_every: int = 1,
         resume: bool = False,
+        selection_metric: str = "ent_raw",
     ) -> Tuple[TrainState, Dict]:
         """Full training run with best-on-valid checkpointing
         (ref:src/main.py:211-279).
+
+        ``selection_metric``: which valid MRR picks the best checkpoint —
+        "ent_raw" (default) or "rel_raw" (the reference's
+        --relation-evaluation selection, ref:src/main.py:266,
+        ref:hyperbolic_main.py:672).
 
         ``resume=True``: if ``checkpoint_path`` holds a checkpoint, restore
         the full TrainState (params + optimizer moments + BN stats + PRNG +
@@ -444,6 +491,10 @@ class Trainer:
         reloads mid-training, ref:src/main.py:266-279).
         """
         cfg, tc = self.cfg, self.cfg.train
+        if selection_metric not in ("ent_raw", "rel_raw"):
+            raise ValueError(
+                f"selection_metric must be 'ent_raw' or 'rel_raw', got "
+                f"{selection_metric!r}")
         start_epoch, best_mrr, best_epoch = 0, 0.0, -1
         if state is None:
             state = create_train_state(
@@ -482,16 +533,22 @@ class Trainer:
                     "epoch %04d | loss e/r/s: %.4f/%.4f/%.4f | %.1fs",
                     epoch, losses["entity"], losses["relation"], losses["static"], dt,
                 )
+            if self.run_analysis:
+                rec = self.analysis_record(state)
+                log.info("analysis %04d | grad global %.4e | ent norm %.3f±%.3f",
+                         epoch, rec["global_norm"], rec["entity_norm_mean"],
+                         rec["entity_norm_std"])
             if epoch % tc.evaluate_every == 0:
                 stats = self.evaluate(
                     state, self.train_list, self.valid_list,
                     ent_filters_v, rel_filters_v, cache_key="valid",
                 )
-                mrr = stats["ent_raw"].mrr
-                history_rows.append(
-                    {"epoch": epoch, "losses": losses, "valid_mrr_raw": mrr,
-                     "valid_mrr_filter": stats["ent_filter"].mrr, "epoch_time_s": dt}
-                )
+                mrr = stats[selection_metric].mrr
+                row = {"epoch": epoch, "losses": losses, "valid_mrr_raw": stats["ent_raw"].mrr,
+                       "valid_mrr_filter": stats["ent_filter"].mrr, "epoch_time_s": dt}
+                if self.run_analysis:
+                    row["analysis"] = rec
+                history_rows.append(row)
                 log.info(
                     "epoch %04d | valid MRR raw %.4f filtered %.4f (best %.4f)",
                     epoch, mrr, stats["ent_filter"].mrr, best_mrr,
@@ -518,12 +575,16 @@ class Trainer:
             from regcn_tpu.train.state import wait_for_checkpoints
 
             wait_for_checkpoints()  # commit in-flight async saves
-        return best_state, {"best_valid_mrr_raw": best_mrr, "history": history_rows}
+        return best_state, {"best_valid_mrr_raw": best_mrr,
+                            "selection_metric": selection_metric,
+                            "history": history_rows}
 
-    def test(self, state: TrainState, multi_step: bool = False, topk: int = 10):
+    def test(self, state: TrainState, multi_step: bool = False, topk: int = 10,
+             relation_evaluation: bool = False):
         ent_f = build_answer_filters_by_time(self.data.test, self.num_rels, False)
         rel_f = build_answer_filters_by_time(self.data.test, self.num_rels, True)
         return self.evaluate(
             state, self.train_list + self.valid_list, self.test_list,
-            ent_f, rel_f, multi_step=multi_step, topk=topk, cache_key="test",
+            ent_f, rel_f, multi_step=multi_step, topk=topk,
+            relation_evaluation=relation_evaluation, cache_key="test",
         )

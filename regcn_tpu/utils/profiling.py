@@ -58,6 +58,19 @@ def gradient_stats(grads: Any, top_k: int = 10) -> Dict[str, float]:
     return {"global_norm": global_norm, **top}
 
 
+def embedding_stats(emb: Any, prefix: str = "emb") -> Dict[str, float]:
+    """Row-norm statistics of an embedding table (parity with the
+    reference's per-run embedding logging under --run-analysis,
+    ref:hyperbolic_src/hyperbolic_ops.py log_embedding_stats)."""
+    norms = np.linalg.norm(
+        np.asarray(jax.device_get(emb), np.float32), axis=-1)
+    return {
+        f"{prefix}_norm_mean": float(norms.mean()),
+        f"{prefix}_norm_std": float(norms.std()),
+        f"{prefix}_norm_max": float(norms.max()),
+    }
+
+
 def parameter_count(params: Any) -> int:
     return sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params))
 

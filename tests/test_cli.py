@@ -93,3 +93,98 @@ def test_grid_vectorized_hisres_rejected():
     with pytest.raises(SystemExit, match="vectorize"):
         cli.main(["grid", "-d", "synthetic-small", "--grid-family", "hisres",
                   "--vectorize", "--tune", "lr"])
+
+
+# ------------------------------------------ eval-protocol flags (round 5)
+class _FakeStats:
+    mrr = 0.5
+    hits = {1: 0.3, 3: 0.4, 10: 0.6}
+
+
+def _fake_stats():
+    return {k: _FakeStats() for k in ("ent_raw", "ent_filter",
+                                      "rel_raw", "rel_filter")}
+
+
+def test_cli_eval_protocol_flag_plumbing(tmp_path, monkeypatch):
+    """--multi-step/--topk/--relation-evaluation/--run-analysis reach the
+    trainer in ALL THREE modes (round-4 verdict item: these flags were
+    silently dropped outside hisres)."""
+    import regcn_tpu.cli as cli
+    import regcn_tpu.hisres.train as hisres_train
+    import regcn_tpu.hyperbolic.train as hyp_train
+    import regcn_tpu.train.loop as loop
+
+    captured = {}
+
+    def make_fake(name):
+        class FakeTrainer:
+            def __init__(self, *a, **kw):
+                captured[name, "run_analysis"] = kw.get("run_analysis")
+
+            def fit(self, *a, **kw):
+                captured[name, "selection_metric"] = kw.get("selection_metric")
+                return object(), {"best_valid_mrr_raw": 0.5,
+                                  "selection_metric": kw.get("selection_metric")}
+
+            def test(self, state, **kw):
+                captured[name, "test_kwargs"] = kw
+                return _fake_stats()
+
+        return FakeTrainer
+
+    monkeypatch.setattr(loop, "Trainer", make_fake("train"))
+    monkeypatch.setattr(hyp_train, "HyperbolicTrainer", make_fake("hyperbolic"))
+    monkeypatch.setattr(hisres_train, "HisResTrainer", make_fake("hisres"))
+    monkeypatch.chdir(tmp_path)
+
+    flags = ["-d", "synthetic-small", "--multi-step", "--topk", "3",
+             "--relation-evaluation", "--run-analysis",
+             "--models-dir", str(tmp_path / "models")]
+    cli.main(["train"] + flags)
+    cli.main(["hyperbolic"] + flags)
+    cli.main(["hisres"] + flags)
+
+    for mode in ("train", "hyperbolic", "hisres"):
+        assert captured[mode, "run_analysis"] is True, mode
+        assert captured[mode, "selection_metric"] == "rel_raw", mode
+        kw = captured[mode, "test_kwargs"]
+        assert kw["multi_step"] is True and kw["topk"] == 3, mode
+        assert kw["relation_evaluation"] is True, mode
+
+
+def test_cli_rejects_eval_flags_in_bench_and_entity_modes():
+    import regcn_tpu.cli as cli
+
+    for mode in ("bench", "entity"):
+        for flag in ("--multi-step", "--relation-evaluation", "--run-analysis"):
+            with pytest.raises(SystemExit, match="applies to"):
+                cli.main([mode, "-d", "synthetic-small", flag])
+
+
+def test_cli_hyperbolic_multistep_relation_eval(tmp_path, monkeypatch):
+    """End-to-end: the hyperbolic CLI honors --multi-step
+    --relation-evaluation (feeds predicted-RELATION snapshots back,
+    ref:hyperbolic_main.py:135-142) and --run-analysis (per-epoch
+    gradient/radius/curvature records)."""
+    import regcn_tpu.cli as cli
+    import regcn_tpu.train.loop as loop
+
+    calls = {"snap_r": 0}
+    orig = loop.construct_snap_r
+
+    def spy(*a, **kw):
+        calls["snap_r"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(loop, "construct_snap_r", spy)
+    monkeypatch.chdir(tmp_path)
+    result = cli.main([
+        "hyperbolic", "-d", "synthetic-small", "--n-epochs", "1",
+        "--n-hidden", "16", "--n-bases", "4", "--train-history-len", "2",
+        "--test-history-len", "2", "--patience", "1",
+        "--multi-step", "--topk", "3", "--relation-evaluation",
+        "--run-analysis", "--models-dir", str(tmp_path / "models"),
+    ])
+    assert 0 < result["ent_raw"]["mrr"] <= 1
+    assert calls["snap_r"] > 0  # relation feedback actually ran
