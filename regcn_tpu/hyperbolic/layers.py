@@ -233,6 +233,36 @@ def uvrgcn_cell_tangent(
 
 # --------------------------------------------------------------------- FHNN
 
+def fhnn_edge_transform(rel_weight, tan_src, rel, mode: Optional[str] = None):
+    """Per-edge relation matvec ``msg[e] = tan_src[e] @ W[rel[e]]``
+    (ref:hyperbolic_layers.py:436-466 FHNN message).
+
+    Two lowerings (round-5 measurement, docs/BENCHMARKS.md):
+
+    - ``take``: gather ``[E, d, d]`` weights then batched matvec. Its
+      backward is a scatter-add into ``[R, d, d]`` — the dominant cost of
+      the fhnn step on TPU, and the op XLA constant-folds per shard
+      program under shard_map (the round-4 halo-retention outlier).
+    - ``onehot``: gather-as-GEMM — ``one_hot(rel) @ W.reshape(R, d²)``.
+      Exact (0/1 weights pick rows bit-exactly); forward and backward are
+      MXU GEMMs. Measured fwd+bwd on 1 v5e, d=200, R=230:
+      1.46x / 1.47x / 2.19x faster at E=1k / 2k / 8k.
+
+    ``mode=None`` selects ``onehot`` on TPU, ``take`` elsewhere (the CPU
+    backend runs the gather ~2x faster than the GEMM).
+    """
+    if mode is None:
+        mode = "onehot" if jax.default_backend() == "tpu" else "take"
+    if mode == "onehot":
+        nr = rel_weight.shape[0]
+        oh = jax.nn.one_hot(rel, nr, dtype=tan_src.dtype)
+        w_e = (oh @ rel_weight.reshape(nr, -1)).reshape(
+            -1, *rel_weight.shape[1:])
+    else:
+        w_e = rel_weight[rel]
+    return jnp.einsum("ed,edf->ef", tan_src, w_e)
+
+
 def init_fhnn_layer(rng, h_dim, num_rels, self_loop=True) -> Params:
     ks = jax.random.split(rng, 2)
     # xavier on view(-1, out): fans = (R*d, d) (ref :361-362)
@@ -269,8 +299,7 @@ def fhnn_layer(
     # source rows travel)
     def local_fn(hbuf, src, dst, mask, rel, norm, has_in, rows):
         tan = H.log_map_zero(hbuf, c)
-        w_e = params["rel_weight"][rel]
-        msg_tan = jnp.einsum("ed,edf->ef", tan[src], w_e)
+        msg_tan = fhnn_edge_transform(params["rel_weight"], tan[src], rel)
         if rel_emb is not None:
             msg_tan = msg_tan + rel_emb[rel]
         msg_ball = H.exp_map_zero(msg_tan, c)

@@ -136,3 +136,34 @@ def test_union_layer_pallas_impl_matches_xla(rng, tiny_graph):
         tp = L.union_layer_tangent(params, v, rel, snap, c, impl="pallas")
         np.testing.assert_allclose(np.asarray(tx), np.asarray(tp),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_fhnn_edge_transform_onehot_matches_take(rng, tiny_graph):
+    """The TPU gather-as-GEMM lowering is numerically the gather: one-hot
+    0/1 weights pick weight rows exactly (round-5 fhnn speedup)."""
+    import jax
+
+    from regcn_tpu.data import build_snapshot
+    from regcn_tpu.hyperbolic import layers as L
+
+    n, r, triples = tiny_graph
+    d = 16
+    snap = build_snapshot(triples, n, r, edge_bucket=64)
+    params = L.init_fhnn_layer(jax.random.PRNGKey(3), d, 2 * r)
+    tan_src = jnp.asarray(rng.normal(size=(len(snap.src), d)).astype(np.float32))
+    take = L.fhnn_edge_transform(params["rel_weight"], tan_src, snap.rel,
+                                 mode="take")
+    onehot = L.fhnn_edge_transform(params["rel_weight"], tan_src, snap.rel,
+                                   mode="onehot")
+    np.testing.assert_allclose(np.asarray(onehot), np.asarray(take),
+                               rtol=1e-6, atol=1e-6)
+
+    # and gradients w.r.t. the weight table agree
+    def loss(w, mode):
+        return jnp.sum(
+            L.fhnn_edge_transform(w, tan_src, snap.rel, mode=mode) ** 2)
+
+    g_take = jax.grad(loss)(params["rel_weight"], "take")
+    g_onehot = jax.grad(loss)(params["rel_weight"], "onehot")
+    np.testing.assert_allclose(np.asarray(g_onehot), np.asarray(g_take),
+                               rtol=1e-5, atol=1e-5)

@@ -94,10 +94,15 @@ def main():
         params = HL.init_encoder_cell(
             jax.random.PRNGKey(0), enc, D, 2 * R, n_layers=2,
             n_bases=NB, num_heads=HEADS)
-        base_fn = jax.jit(lambda hh, p=params, e=enc: HL.encoder_cell(
+        # params are TRACED arguments, as in the production trainers.
+        # Round-4 captured them as jit closure constants, which let XLA
+        # constant-fold fhnn's [E, d, d] weight gather in the DENSE
+        # baseline but not inside shard_map — the 0.22-0.30 "retention
+        # defect" was that asymmetry, not a halo cost (round-5 fix).
+        base_fn = jax.jit(lambda hh, p, e=enc: HL.encoder_cell(
             p, e, hh, rel_emb, snap, C, n_bases=NB, num_heads=HEADS,
             impl="xla"))
-        t1, t1_lo, t1_hi = _timed(base_fn, h)
+        t1, t1_lo, t1_hi = _timed(lambda hh: base_fn(hh, params), h)
         row = {"t1_s": round(t1, 5),
                "t1_minmax_s": [round(t1_lo, 5), round(t1_hi, 5)],
                "halo": {}}
@@ -108,11 +113,11 @@ def main():
                              devices=jax.devices()[:g])
             halo, stats = partition_edges_boundary(triples, N, R, g)
             snap_h = dataclasses.replace(snap, halo=halo)
-            fn = jax.jit(lambda hh, p=params, e=enc, s=snap_h, m=mesh:
+            fn = jax.jit(lambda hh, p, e=enc, s=snap_h, m=mesh:
                          HL.encoder_cell(p, e, hh, rel_emb, s, C,
                                          n_bases=NB, num_heads=HEADS,
                                          impl=HaloImpl(m)))
-            tg, tg_lo, tg_hi = _timed(fn, h)
+            tg, tg_lo, tg_hi = _timed(lambda hh: fn(hh, params), h)
             row["halo"][str(g)] = {
                 "tG_s": round(tg, 5),
                 "tG_minmax_s": [round(tg_lo, 5), round(tg_hi, 5)],
