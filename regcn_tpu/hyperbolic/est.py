@@ -99,7 +99,9 @@ def inject_slow_state(params: Params, h_hyp: jax.Array, slow: jax.Array, c,
     if entity_ids is not None:
         s = s[entity_ids]
     h_tan = jnp.clip(h_tan + s, -CLAMP, CLAMP)
-    return H.project_to_ball(H.exp_map_zero(h_tan, c), c)
+    # dtype-preserving (CLAUDE invariant): the fp32 slow buffer must not
+    # promote the bf16 evolution carry (scan carry dtype mismatch)
+    return H.project_to_ball(H.exp_map_zero(h_tan, c), c).astype(h_hyp.dtype)
 
 
 def update_states(
@@ -138,12 +140,16 @@ def update_states(
 
 # ----------------------------------------------------------------- H-TDP
 
-def time_delta_projection(params: Params, deltas: jax.Array, c) -> jax.Array:
-    """exp_0(MLP(log1p Δt)) -> [B, K, d] ball points (ref :193-214)."""
+def time_delta_tangent(params: Params, deltas: jax.Array) -> jax.Array:
+    """MLP(log1p Δt) tangent features -> [B, K, d] (ref :193-214)."""
     x = jnp.log1p(deltas.astype(jnp.float32))[..., None]  # [B, K, 1]
     h1 = jax.nn.relu(x @ params["tdp_w1"].T + params["tdp_b1"])
-    tangent = h1 @ params["tdp_w2"].T + params["tdp_b2"]
-    return H.exp_map_zero(tangent, c)
+    return h1 @ params["tdp_w2"].T + params["tdp_b2"]
+
+
+def time_delta_projection(params: Params, deltas: jax.Array, c) -> jax.Array:
+    """exp_0(MLP(log1p Δt)) -> [B, K, d] ball points (ref :193-214)."""
+    return H.exp_map_zero(time_delta_tangent(params, deltas), c)
 
 
 # ------------------------------------------------------------------ ETNR
@@ -267,9 +273,32 @@ def history_encoder(
     c,
 ) -> jax.Array:
     """QCHHE forward (ref :402-472) -> [B, d] ball context."""
-    nb_t = H.log_map_zero(neighbor_hyp, c)
-    rl_t = H.log_map_zero(rel_hyp, c)
-    tm_t = H.log_map_zero(time_hyp, c)
+    context_t = history_encoder_tangent(
+        params, cfg,
+        H.log_map_zero(neighbor_hyp, c),
+        H.log_map_zero(rel_hyp, c),
+        H.log_map_zero(time_hyp, c),
+        query_tangent, mask)
+    return H.exp_map_zero(context_t, c)
+
+
+def history_encoder_tangent(
+    params: Params,
+    cfg,
+    nb_t: jax.Array,  # [B, K, d] tangent
+    rl_t: jax.Array,  # [B, K, d] tangent
+    tm_t: jax.Array,  # [B, K, d] tangent
+    query_tangent: jax.Array,  # [B, d]
+    mask: jax.Array,  # [B, K]
+) -> jax.Array:
+    """QCHHE on tangent features -> [B, d] TANGENT context.
+
+    The all-tangent entry point: callers holding tangent features (the
+    enrichment path — see :func:`enrich_embeddings`) skip the three
+    [B, K, d] exp/log round trips of the ball API, which are identity up
+    to ``clamp_tangent_norm`` (the same invariant the uvrgcn
+    tangent-carry scan relies on, hyperbolic/model.py:_evolve_tangent).
+    """
     feat = jnp.concatenate([nb_t, rl_t, tm_t], axis=-1)  # [B, K, 3d]
     hist = jnp.tanh(feat @ params["hist_proj_w"].T + params["hist_proj_b"])
 
@@ -307,21 +336,24 @@ def history_encoder(
     scores = jnp.where(mask <= 0, -1e9, scores)
     attn = jax.nn.softmax(scores, axis=-1) * mask
     attn = attn / jnp.maximum(jnp.sum(attn, axis=-1, keepdims=True), 1e-9)
-    context_t = jnp.sum(hist_seq * attn[..., None], axis=1)
-    return H.exp_map_zero(context_t, c)
+    return jnp.sum(hist_seq * attn[..., None], axis=1)
 
 
 # ------------------------------------------------------ enrich + fusion
 
-def fuse_global_local(params: Params, h_global, h_local, c):
-    """Gated tangent-space fusion (ref:hyperbolic_model.py:555-577)."""
-    g_t = H.log_map_zero(h_global, c)
-    l_t = H.log_map_zero(h_local, c)
+def fuse_global_local_tangent(params: Params, g_t, l_t):
+    """Gated fusion on tangent features -> TANGENT rows (ref :555-577)."""
     gate = jax.nn.sigmoid(
         jnp.concatenate([g_t, l_t], axis=-1) @ params["fusion_gate_w"].T
         + params["fusion_gate_b"]
     )
-    fused_t = jnp.clip(gate * l_t + (1.0 - gate) * g_t, -CLAMP, CLAMP)
+    return jnp.clip(gate * l_t + (1.0 - gate) * g_t, -CLAMP, CLAMP)
+
+
+def fuse_global_local(params: Params, h_global, h_local, c):
+    """Gated tangent-space fusion (ref:hyperbolic_model.py:555-577)."""
+    fused_t = fuse_global_local_tangent(
+        params, H.log_map_zero(h_global, c), H.log_map_zero(h_local, c))
     return H.project_to_ball(H.exp_map_zero(fused_t, c), c)
 
 
@@ -355,35 +387,55 @@ def enrich_embeddings(
     *,
     rng=None,
     train: bool = False,
-) -> jax.Array:
+    return_ctx_tangent: bool = False,
+):
     """EST enrichment of query-entity rows (ref:hyperbolic_model.py:579-648).
 
     Per-row (not unique-head) formulation: rows sharing a head compute the
     identical context and scatter the identical value; padded rows are
     dropped from the scatter.
+
+    TPU round-5 consolidation: the whole enrichment pipeline runs on
+    TANGENT features — the reference's per-stage exp/log round trips
+    (neighbor inject, relation lift, Δt projection, fusion) are identity
+    up to ``clamp_tangent_norm``, so the [B, K, d] transcendental passes
+    and their HBM traffic collapse into cheap norm clamps (the config-5
+    trace's per-event DMA chains, docs/BENCHMARKS.md).
+
+    ``return_ctx_tangent=True`` additionally returns the fused TANGENT
+    rows [B, d] so the H-PES writeback can skip re-gathering +
+    re-log-mapping the enriched table (hyperbolic/train.py).
     """
     heads = triples[:, 0]
     B, K = rb.nb_ents.shape
     d = cfg.h_dim
 
+    # neighbor features: log(inject_slow(exp(dyn_tan))) in pure tangent
     nb_flat = rb.nb_ents.reshape(-1)
-    nb_emb = H.exp_map_zero(dynamic_tangent[nb_flat], c)
-    nb_emb = inject_slow_state(params, nb_emb, slow_state, c, entity_ids=nb_flat)
-    nb_emb = nb_emb.reshape(B, K, d)
+    nb_t = H.clamp_tangent_norm(dynamic_tangent[nb_flat], c)
+    nb_t = jnp.clip(nb_t + jax.lax.stop_gradient(slow_state)[nb_flat],
+                    -CLAMP, CLAMP)
+    nb_t = H.clamp_tangent_norm(nb_t, c).reshape(B, K, d)
 
-    rl_emb = H.exp_map_zero(rel_tangent[rb.nb_rels.reshape(-1)], c).reshape(B, K, d)
-    tm_emb = time_delta_projection(params, rb.deltas, c)
+    rl_t = H.clamp_tangent_norm(
+        rel_tangent[rb.nb_rels.reshape(-1)], c).reshape(B, K, d)
+    tm_t = H.clamp_tangent_norm(time_delta_tangent(params, rb.deltas), c)
 
-    q_global = global_emb[heads]
-    q_tangent = H.log_map_zero(q_global, c)
-    context = history_encoder(params, cfg, nb_emb, rl_emb, tm_emb, q_tangent,
-                              rb.event_mask, c)
-    fused = fuse_global_local(params, q_global, context, c)
+    q_tangent = H.log_map_zero(global_emb[heads], c)
+    context_t = history_encoder_tangent(
+        params, cfg, nb_t, rl_t, tm_t, q_tangent, rb.event_mask)
+    fused_t = fuse_global_local_tangent(
+        params, q_tangent, H.clamp_tangent_norm(context_t, c))
+    fused = H.project_to_ball(H.exp_map_zero(fused_t, c), c).astype(
+        global_emb.dtype)  # dtype-preserving under bf16 compute
 
     # scatter enriched rows back; padded rows are dropped
     n = global_emb.shape[0]
     safe_heads = jnp.where(rb.row_mask > 0, heads, n)  # out-of-range => drop
-    return global_emb.at[safe_heads].set(fused, mode="drop")
+    out = global_emb.at[safe_heads].set(fused, mode="drop")
+    if return_ctx_tangent:
+        return out, H.clamp_tangent_norm(fused_t, c)
+    return out
 
 
 # ------------------------------------------------------------------ TANS

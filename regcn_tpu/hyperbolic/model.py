@@ -569,9 +569,10 @@ def get_loss(
             H.log_map_zero(params["dynamic_emb"], c)
             if cfg.manifold_entities else params["dynamic_emb"]
         )
-        pre_emb = est.enrich_embeddings(
+        pre_emb, est_ctx_tan = est.enrich_embeddings(
             params["est"], cfg, pre_emb, triples, est_inputs[1], c,
             slow_state, dyn_tan, r_emb, rng=k_est, train=train,
+            return_ctx_tangent=True,
         )
         ent_tan = None  # enrichment changed the table; decoders re-derive
 
@@ -625,6 +626,10 @@ def get_loss(
     new_state = HypModelState(bn_ob=new_bn_ob, bn_rel=new_bn_rel,
                               radius_target=state.radius_target)
     aux = {"pre_emb": pre_emb, "curvature": c}
+    if cfg.use_est and est_inputs is not None and est_inputs[1] is not None:
+        # fused TANGENT rows for the H-PES writeback — saves the
+        # [B, d] re-gather + log map of the enriched table per step
+        aux["est_ctx_tan"] = est_ctx_tan
     return loss_ent, losses, new_state, aux
 
 

@@ -77,15 +77,27 @@ def dual_optimizer(
     grad_norm: float = 1.0,
     weight_decay: float = 1e-5,
     manifold_entities: bool = False,
+    fuse_small: bool = False,
 ) -> optax.GradientTransformation:
     """clip-by-global-norm, then RiemannianAdam on manifold leaves and
-    Adam(+coupled wd) on Euclidean leaves (ref :404-488)."""
+    Adam(+coupled wd) on Euclidean leaves (ref :404-488).
+
+    ``fuse_small``: run the chain with small leaves concatenated into one
+    fused vector (train/fused_opt.py — exact; kernel-count experiment).
+    Only supported on the pure-Euclidean path."""
     euclidean = optax.chain(
         optax.add_decayed_weights(weight_decay),
         optax.adam(lr),
     )
     if not manifold_entities:
-        return optax.chain(optax.clip_by_global_norm(grad_norm), euclidean)
+        chain = optax.chain(optax.clip_by_global_norm(grad_norm), euclidean)
+        if fuse_small:
+            from regcn_tpu.train.fused_opt import fuse_small_leaves
+
+            return fuse_small_leaves(chain)
+        return chain
+    if fuse_small:
+        raise ValueError("fuse_small is not supported with manifold_entities")
 
     manifold = riemannian_adam(lr, c)
 

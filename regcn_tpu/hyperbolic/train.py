@@ -257,7 +257,10 @@ class HyperbolicTrainer:
                 # H-PES writeback from the enriched embeddings (ref :650-671)
                 from regcn_tpu.hyperbolic import ops as H
 
-                ctx_tan = H.log_map_zero(aux["pre_emb"][triples[:, 0]], aux["curvature"])
+                ctx_tan = aux.get("est_ctx_tan")
+                if ctx_tan is None:  # no retrieval batch: unenriched rows
+                    ctx_tan = H.log_map_zero(
+                        aux["pre_emb"][triples[:, 0]], aux["curvature"])
                 new_est = est_mod.update_states(
                     state.params["est"], new_est, triples[:, 0], mask,
                     ctx_tan, cfg.est_state_alpha,
@@ -292,7 +295,10 @@ class HyperbolicTrainer:
             if cfg.use_est and new_est is not None:
                 from regcn_tpu.hyperbolic import ops as H
 
-                ctx_tan = H.log_map_zero(aux["pre_emb"][triples[:, 0]], aux["curvature"])
+                ctx_tan = aux.get("est_ctx_tan")
+                if ctx_tan is None:  # no retrieval batch: unenriched rows
+                    ctx_tan = H.log_map_zero(
+                        aux["pre_emb"][triples[:, 0]], aux["curvature"])
                 new_est = est_mod.update_states(
                     state.params["est"], new_est, triples[:, 0], mask,
                     ctx_tan, cfg.est_state_alpha,

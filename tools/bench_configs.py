@@ -14,6 +14,7 @@ epoch) and, where cheap, a 5-epoch validation MRR, on real hardware:
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -30,7 +31,8 @@ def time_epochs(run_epoch, state, n=3, first_out=None):
     return dt, state
 
 
-def bench_euclidean(name, *, use_static=False, h_dim=200, hlen=3, epochs=5):
+def bench_euclidean(name, *, use_static=False, h_dim=200, hlen=3, epochs=5,
+                    compute_dtype="float32"):
     from regcn_tpu.config import ExperimentConfig, ModelConfig, TrainConfig
     from regcn_tpu.data import load_data
     from regcn_tpu.train.loop import Trainer
@@ -41,7 +43,7 @@ def bench_euclidean(name, *, use_static=False, h_dim=200, hlen=3, epochs=5):
         model=ModelConfig(num_ents=data.num_nodes, num_rels=data.num_rels,
                           h_dim=h_dim, n_layers=2, use_static=use_static,
                           num_static_rels=data.num_static_rels,
-                          num_words=data.num_words),
+                          num_words=data.num_words, dtype=compute_dtype),
         train=TrainConfig(train_history_len=hlen, test_history_len=hlen,
                           edge_bucket=128, rc_bucket=128, triple_bucket=128,
                           n_epochs=epochs, lr=1e-3),
@@ -89,23 +91,43 @@ def main():
     from regcn_tpu.utils.prng import use_fast_prng
 
     use_fast_prng()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", default="1,2,3,4,5",
+                    help="comma-separated subset of the 5 configs")
+    ap.add_argument("--compute-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    args = ap.parse_args()
+    which = {int(r) for r in args.rows.split(",")}
+    cdt = args.compute_dtype
+
     rows = {}
-    rows["1_regcn_icews14s"] = bench_euclidean("synthetic-icews14s")
-    print(json.dumps({"1_regcn_icews14s": rows["1_regcn_icews14s"]}), flush=True)
-    rows["2_regcn_static_icews18"] = bench_euclidean(
-        "synthetic-icews18", use_static=True)
-    print(json.dumps({"2_regcn_static_icews18": rows["2_regcn_static_icews18"]}), flush=True)
-    rows["3_hyp_lgcn_roth"] = bench_hyperbolic(
-        "synthetic-icews14s", encoder="lgcn", decoder="roth", c=0.01)
-    print(json.dumps({"3_hyp_lgcn_roth": rows["3_hyp_lgcn_roth"]}), flush=True)
-    rows["4_hyp_atth_learned_c"] = bench_hyperbolic(
-        "synthetic-icews14s", encoder="hyperbolic_uvrgcn", decoder="atth",
-        learn_curvature=True, use_rel_curvature=True, use_entity_bias=True)
-    print(json.dumps({"4_hyp_atth_learned_c": rows["4_hyp_atth_learned_c"]}), flush=True)
-    rows["5_est_gdelt"] = bench_hyperbolic(
-        "synthetic-gdelt", encoder="hyperbolic_uvrgcn",
-        decoder="hyperbolic_convtranse", use_est=True,
-        use_time_aware_negative=True)
+
+    def emit(key, value):
+        rows[key] = value
+        print(json.dumps({key: value, "compute_dtype": cdt}), flush=True)
+
+    if 1 in which:
+        emit("1_regcn_icews14s",
+             bench_euclidean("synthetic-icews14s", compute_dtype=cdt))
+    if 2 in which:
+        emit("2_regcn_static_icews18",
+             bench_euclidean("synthetic-icews18", use_static=True,
+                             compute_dtype=cdt))
+    if 3 in which:
+        emit("3_hyp_lgcn_roth",
+             bench_hyperbolic("synthetic-icews14s", encoder="lgcn",
+                              decoder="roth", c=0.01, compute_dtype=cdt))
+    if 4 in which:
+        emit("4_hyp_atth_learned_c",
+             bench_hyperbolic("synthetic-icews14s",
+                              encoder="hyperbolic_uvrgcn", decoder="atth",
+                              learn_curvature=True, use_rel_curvature=True,
+                              use_entity_bias=True, compute_dtype=cdt))
+    if 5 in which:
+        emit("5_est_gdelt",
+             bench_hyperbolic("synthetic-gdelt", encoder="hyperbolic_uvrgcn",
+                              decoder="hyperbolic_convtranse", use_est=True,
+                              use_time_aware_negative=True, compute_dtype=cdt))
     print(json.dumps(rows, indent=1), flush=True)
 
 
