@@ -48,7 +48,42 @@ def rgcn_aggregate(
             h, rel_emb, weight, src, dst, rel, edge_mask, in_deg_norm,
             dst_sorted=dst_sorted,
         )
+    if impl == "cumsum":
+        if not dst_sorted:
+            raise ValueError("impl='cumsum' requires destination-sorted edges")
+        return _rgcn_aggregate_cumsum(h, rel_emb, weight, src, dst, rel,
+                                      edge_mask, in_deg_norm)
     return _rgcn_aggregate_xla(h, rel_emb, weight, src, dst, rel, edge_mask, in_deg_norm)
+
+
+def _rgcn_aggregate_cumsum(h, rel_emb, weight, src, dst, rel, edge_mask,
+                           in_deg_norm):
+    """Sorted-segment reduction as cumsum + boundary differences.
+
+    Round-5 roofline finding (tools/bench_roofline.py): XLA's TPU scatter
+    degrades catastrophically at large segment counts — 778 ms for a
+    [4M, 64] -> [1M, 64] segment_sum whose HBM bound is ~3 ms — and the
+    row-tiled Pallas kernel is grid-overhead-bound there too. With
+    destination-SORTED edges the segment sum is
+
+        S = cumsum(msg); out[v] = S[end_v] - S[start_v]
+
+    which runs ~10x faster at that shape (77 ms). The fp32 running sum
+    makes this APPROXIMATE: measured max relative error ~6e-5 vs the
+    exact scatter at E=4M (error grows with the cumsum length), so this
+    is an opt-in for large-graph inference/serving, never the training
+    default.
+    """
+    n = h.shape[0]
+    msg = (h[src] + rel_emb[rel]).astype(weight.dtype)
+    msg = jnp.dot(msg, weight, preferred_element_type=jnp.float32)
+    msg = msg * edge_mask[:, None].astype(msg.dtype)
+    cum = jnp.cumsum(msg, axis=0)
+    cum = jnp.concatenate([jnp.zeros((1, msg.shape[1]), cum.dtype), cum], 0)
+    # offsets[v] = first edge index with dst >= v (dst sorted ascending)
+    offsets = jnp.searchsorted(dst, jnp.arange(n + 1, dtype=dst.dtype))
+    agg = cum[offsets[1:]] - cum[offsets[:-1]]
+    return (agg * in_deg_norm[:, None].astype(msg.dtype)).astype(h.dtype)
 
 
 def _rgcn_aggregate_xla(h, rel_emb, weight, src, dst, rel, edge_mask, in_deg_norm):

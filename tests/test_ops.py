@@ -124,3 +124,34 @@ def test_pallas_aggregate_preserves_bf16_carry():
             out = rgcn_aggregate(h, rel_emb, w, src, dst, rel, mask, norm,
                                  impl=impl)
             assert out.dtype == jnp.bfloat16, impl
+
+
+def test_rgcn_aggregate_cumsum_matches_xla():
+    """impl='cumsum' (sorted-segment cumsum-diff, round-5 roofline
+    finding) matches the exact scatter within its documented fp32
+    running-sum error; unsorted input is rejected."""
+    import numpy as np
+    import pytest
+
+    from regcn_tpu.ops.rgcn_scatter import rgcn_aggregate
+
+    rng = np.random.default_rng(0)
+    n, d, e, r2 = 300, 32, 4096, 24
+    h = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    rel_emb = jnp.asarray(rng.normal(size=(r2, d)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(d, d)) * 0.1, jnp.float32)
+    src = jnp.asarray(rng.integers(0, n, e), jnp.int32)
+    dst = jnp.asarray(np.sort(rng.integers(0, n, e)), jnp.int32)
+    rel = jnp.asarray(rng.integers(0, r2, e), jnp.int32)
+    mask = jnp.asarray(rng.uniform(size=e) > 0.1, jnp.float32)
+    norm = jnp.asarray(rng.uniform(0.1, 1.0, size=n), jnp.float32)
+
+    ref = rgcn_aggregate(h, rel_emb, w, src, dst, rel, mask, norm, impl="xla")
+    out = rgcn_aggregate(h, rel_emb, w, src, dst, rel, mask, norm,
+                         impl="cumsum", dst_sorted=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
+
+    with pytest.raises(ValueError, match="sorted"):
+        rgcn_aggregate(h, rel_emb, w, src, dst, rel, mask, norm,
+                       impl="cumsum", dst_sorted=False)
