@@ -243,7 +243,10 @@ def _static_radius(params: Params, cfg: HyperbolicConfig, c):
     (ref :715-720; the curvature bound uses a detached c)."""
     r = jnp.clip(params["radius_static"], cfg.radius_min, cfg.radius_max)
     max_r = 1.0 / jnp.sqrt(jax.lax.stop_gradient(c))
-    return jnp.minimum(r, max_r - 1e-6)
+    # dtype-preserving: with learn_curvature, max_r is a STRONG f32
+    # scalar and jnp.minimum would silently promote a bf16 radius buffer
+    # (and through apply_radius the whole evolution carry) to f32
+    return jnp.minimum(r, max_r - 1e-6).astype(r.dtype)
 
 
 def _radius_evolution(params, cfg, x, static_radius, c):

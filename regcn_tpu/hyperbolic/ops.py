@@ -123,9 +123,12 @@ def apply_radius(x: jax.Array, radius, c, eps: float = EPS) -> jax.Array:
     if radius.ndim == x.ndim - 1:
         radius = radius[..., None]
     max_radius = 1.0 / jnp.sqrt(c) - eps
-    radius = jnp.clip(radius, eps, max_radius)
-    direction = x / _norm(x, eps=eps)
-    return direction * radius
+    # fp32 island, dtype-preserving: a strong-f32 learned curvature (or
+    # f32 radius buffer) must not promote a bf16 carry (CLAUDE invariant)
+    radius = jnp.clip(radius.astype(jnp.float32), eps, max_radius)
+    x32 = x.astype(jnp.float32)
+    direction = x32 / _norm(x32, eps=eps)
+    return (direction * radius).astype(x.dtype)
 
 
 def safe_arctanh(x: jax.Array, eps: float = EPS) -> jax.Array:

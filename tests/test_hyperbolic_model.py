@@ -512,3 +512,21 @@ def test_triple_batch_modes_step_counts(tiny_data):
         steps[mode] = int(state.step)
     assert steps["accumulate"] == n_snaps
     assert steps["per_chunk"] > n_snaps
+
+
+@pytest.mark.parametrize("variant", ["learned_curvature", "est"])
+def test_bf16_trains_for_learned_curvature_and_est(tiny_data, variant):
+    """Round-5 regression: a STRONG-f32 learned curvature promoted the
+    bf16 evolution carry through _static_radius/apply_radius (scan carry
+    dtype mismatch), and the fp32 H-PES slow buffer did the same through
+    inject_slow_state. Both configs must train in bf16."""
+    kw = (dict(decoder="atth", learn_curvature=True, use_rel_curvature=True,
+               use_entity_bias=True)
+          if variant == "learned_curvature"
+          else dict(use_est=True, use_time_aware_negative=True))
+    cfg = _cfg(tiny_data, compute_dtype="bfloat16", **kw)
+    trainer = HyperbolicTrainer(cfg, _tc(), tiny_data)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state, losses = trainer.run_epoch(state, 0)
+    assert np.isfinite(losses["entity"])
+    assert np.asarray(state.params["dynamic_emb"]).dtype == np.float32

@@ -6,6 +6,8 @@ evidence existed only for the flagship (uvrgcn+convtranse) and config 2.
 This runs the convergence protocol of tools/convergence_static18.py for
 
 - config 3: lgcn encoder + RotH decoder, ICEWS14s-shape twin
+- config 4: AttH + learned/relation-specific curvature + entity bias
+  (whose bf16 path round 5 fixed: strong-f32 curvature promotion)
 - config 5: EST stack (H-PES + ETNR K=32 + QCHHE GRU + TANS),
   GDELT-shape twin (truncated epochs — the 2303-snapshot epoch is
   ~30 s, see docs/BENCHMARKS.md)
@@ -29,6 +31,10 @@ import jax
 CONFIGS = {
     3: dict(dataset="synthetic-icews14s", encoder="lgcn", decoder="roth",
             default_epochs=25, cfg_kw=dict(c=0.01)),
+    4: dict(dataset="synthetic-icews14s", encoder="hyperbolic_uvrgcn",
+            decoder="atth", default_epochs=25,
+            cfg_kw=dict(learn_curvature=True, use_rel_curvature=True,
+                        use_entity_bias=True)),
     5: dict(dataset="synthetic-gdelt", encoder="hyperbolic_uvrgcn",
             decoder="hyperbolic_convtranse", default_epochs=8,
             cfg_kw=dict(use_est=True, use_time_aware_negative=True)),
