@@ -93,7 +93,23 @@ def _copy_encoder_layers(ref_cell, encoder):
     return {"layers": layers}
 
 
+def _copy_convtrans(dec):
+    """ConvTransE/R weights (ref:hyperbolic_decoder.py:310-510); BN
+    running stats stay at their identical fresh-init values on both
+    sides (eval mode uses them)."""
+    return {
+        "conv_w": a(dec.conv1.weight), "conv_b": a(dec.conv1.bias),
+        "fc_w": a(dec.fc.weight), "fc_b": a(dec.fc.bias),
+        "b": a(dec.b),
+        "bn0": {"scale": a(dec.bn0.weight), "bias": a(dec.bn0.bias)},
+        "bn1": {"scale": a(dec.bn1.weight), "bias": a(dec.bn1.bias)},
+        "bn2": {"scale": a(dec.bn2.weight), "bias": a(dec.bn2.bias)},
+    }
+
+
 def _copy_decoder_ob(dec, decoder):
+    if decoder == "hyperbolic_convtranse":
+        return _copy_convtrans(dec)
     if decoder == "roth":
         p = {
             "rot_w": a(dec.rot_proj.weight), "rot_b": a(dec.rot_proj.bias),
@@ -120,6 +136,8 @@ def _copy_decoder_ob(dec, decoder):
 
 
 def _copy_decoder_rel(dec, decoder):
+    if decoder == "hyperbolic_convtranse":
+        return _copy_convtrans(dec)
     if decoder == "roth":
         p = {
             "global_rot": a(dec.global_rot),
@@ -166,6 +184,12 @@ def _params_from_ref(ref, cfg):
 
 
 CONFIGS = {
+    # config 1 / the flagship: uvrgcn + hyperbolic ConvTransE/R — the
+    # decoder family configs 1 and 5 run (the SMALL refrun pinned it
+    # end-to-end; this pins the model glue layer by layer)
+    "c1_flagship": dict(
+        encoder="hyperbolic_uvrgcn", decoder="hyperbolic_convtranse",
+        learn_curvature=False, use_entity_bias=False, use_rel_curvature=False),
     # config 3 of BASELINE.json: Lorentz GCN encoder + RotH decoders
     "c3_lgcn_roth": dict(
         encoder="lgcn", decoder="roth",
