@@ -290,7 +290,9 @@ def run_hyperbolic(args) -> dict:
     best, info = trainer.fit(patience=args.patience, checkpoint_path=ckpt,
                              resume=args.resume,
                              selection_metric=selection_metric(args))
-    logging.info("best valid MRR (raw): %.4f", info["best_valid_mrr_raw"])
+    logging.info("best valid MRR (%s): %.4f",
+                 info.get("selection_metric", "ent_raw"),
+                 info["best_valid_mrr_raw"])
     stats = trainer.test(best, multi_step=args.multi_step, topk=args.topk,
                          relation_evaluation=args.relation_evaluation)
     result = {
@@ -334,7 +336,9 @@ def run_hisres(args) -> dict:
     ckpt = args.checkpoint or os.path.join(args.models_dir, "hisres-" + model_name(args))
     best, info = trainer.fit(checkpoint_path=ckpt, resume=args.resume,
                              selection_metric=selection_metric(args))
-    logging.info("best valid MRR (raw): %.4f", info["best_valid_mrr_raw"])
+    logging.info("best valid MRR (%s): %.4f",
+                 info.get("selection_metric", "ent_raw"),
+                 info["best_valid_mrr_raw"])
     stats = trainer.test(best, multi_step=args.multi_step, topk=args.topk,
                          relation_evaluation=args.relation_evaluation)
     result = {
@@ -419,7 +423,9 @@ def run_single(args) -> dict:
     else:
         state, info = trainer.fit(checkpoint_path=ckpt, resume=args.resume,
                                   selection_metric=selection_metric(args))
-        logging.info("best valid MRR (raw): %.4f", info["best_valid_mrr_raw"])
+        logging.info("best valid MRR (%s): %.4f",
+                 info.get("selection_metric", "ent_raw"),
+                 info["best_valid_mrr_raw"])
 
     stats = trainer.test(state, multi_step=args.multi_step, topk=args.topk,
                          relation_evaluation=args.relation_evaluation)
@@ -455,6 +461,18 @@ def run_grid(args):
             raise SystemExit(
                 "--vectorize supports the regcn and hyperbolic families; "
                 "run the hisres grid without --vectorize")
+
+        # the vectorized sweep selects on valid entity MRR inside one
+        # vmapped program and never runs test(); eval-protocol flags
+        # cannot be honored there — error instead of silently no-opping
+        for flag, name in ((args.multi_step, "--multi-step"),
+                           (args.relation_evaluation, "--relation-evaluation"),
+                           (args.run_analysis, "--run-analysis")):
+            if flag:
+                raise SystemExit(
+                    f"{name} is not supported with grid --vectorize "
+                    f"(the vmapped sweep has no test/analysis phase); "
+                    f"run the grid without --vectorize")
 
         vec_keys = [k for k in keys if k in VECTORIZABLE]
         seq_keys = [k for k in keys if k not in VECTORIZABLE]

@@ -700,9 +700,9 @@ class HisResTrainer:
                                   ent_f, rel_f, time_offset=len(self.train_list),
                                   cache_key="valid")
             mrr = stats[selection_metric].mrr
-            log.info("epoch %03d | e/r/s %.4f/%.4f/%.4f | MRR %.4f | %.1fs",
+                log.info("epoch %03d | e/r/s %.4f/%.4f/%.4f | %s MRR %.4f | %.1fs",
                      epoch, losses["entity"], losses["relation"], losses["static"],
-                     mrr, time.time() - t0)
+                     selection_metric, mrr, time.time() - t0)
             if self.run_analysis:
                 rec = self.analysis_record(state)
                 log.info("analysis %03d | grad global %.4e | ent norm %.3f±%.3f",

@@ -84,7 +84,11 @@ def dual_optimizer(
 
     ``fuse_small``: run the chain with small leaves concatenated into one
     fused vector (train/fused_opt.py — exact; kernel-count experiment).
-    Only supported on the pure-Euclidean path."""
+    Only supported on the pure-Euclidean path. NOTE: no production path
+    sets this — the experiment measured no speedup on the headline epoch
+    (docs/BENCHMARKS.md "Tried and rejected") and its optimizer state is
+    checkpoint-incompatible with the unfused chain; the hook exists as
+    the runnable experiment record."""
     euclidean = optax.chain(
         optax.add_decayed_weights(weight_decay),
         optax.adam(lr),

@@ -831,9 +831,9 @@ class HyperbolicTrainer:
                          rec["entity_norm_std"], rec["radius_static_mean"],
                          rec["radius_static_std"], rec["curvature"])
             history_rows.append(row)
-            log.info("epoch %03d | e/r/s/rad %.4f/%.4f/%.4f/%.4f | MRR %.4f | %.1fs",
+            log.info("epoch %03d | e/r/s/rad %.4f/%.4f/%.4f/%.4f | %s MRR %.4f | %.1fs",
                      epoch, losses["entity"], losses["relation"], losses["static"],
-                     losses["radius"], mrr, dt)
+                     losses["radius"], selection_metric, mrr, dt)
             if mrr > best_mrr:
                 # deep copy: the next epoch donates `state`'s buffers
                 from regcn_tpu.train.state import copy_state

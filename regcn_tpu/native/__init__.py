@@ -77,7 +77,11 @@ def build_snapshot_arrays(triples, num_nodes, num_rels, edge_pad, rc_pad,
         # TypeError. Any OTHER TypeError (e.g. wrong-typed caller input)
         # is a real bug and must propagate.
         msg = str(exc)
-        if not ("takes exactly" in msg or "argument" in msg):
+        # only arity-style complaints indicate a stale signature; value/
+        # type complaints ("argument 1 must be numpy.ndarray", "integer
+        # argument expected") are real caller bugs and must propagate
+        if not any(s in msg for s in ("takes exactly", "takes at least",
+                                      "takes at most")):
             raise
         log.warning(
             "stale native/_graph_builder.so (old signature) — rebuild with "

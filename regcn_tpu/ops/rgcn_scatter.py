@@ -80,8 +80,14 @@ def _rgcn_aggregate_cumsum(h, rel_emb, weight, src, dst, rel, edge_mask,
     msg = msg * edge_mask[:, None].astype(msg.dtype)
     cum = jnp.cumsum(msg, axis=0)
     cum = jnp.concatenate([jnp.zeros((1, msg.shape[1]), cum.dtype), cum], 0)
-    # offsets[v] = first edge index with dst >= v (dst sorted ascending)
-    offsets = jnp.searchsorted(dst, jnp.arange(n + 1, dtype=dst.dtype))
+    # offsets[v] = first edge index with dst >= v. Padded tail edges
+    # carry dst=0 (snapshot builders zero-fill after the sorted real
+    # edges), which would break searchsorted's monotonicity assumption.
+    # cummax restores monotonicity for ANY masked run: masked edges
+    # contribute zero messages, so attributing their (empty) span to the
+    # running-max segment is exact.
+    dst_keys = jax.lax.cummax(dst)
+    offsets = jnp.searchsorted(dst_keys, jnp.arange(n + 1, dtype=dst.dtype))
     agg = cum[offsets[1:]] - cum[offsets[:-1]]
     return (agg * in_deg_norm[:, None].astype(msg.dtype)).astype(h.dtype)
 

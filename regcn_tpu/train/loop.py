@@ -550,8 +550,9 @@ class Trainer:
                     row["analysis"] = rec
                 history_rows.append(row)
                 log.info(
-                    "epoch %04d | valid MRR raw %.4f filtered %.4f (best %.4f)",
-                    epoch, mrr, stats["ent_filter"].mrr, best_mrr,
+                    "epoch %04d | valid %s MRR %.4f | ent raw/filt %.4f/%.4f "
+                    "(best %.4f)", epoch, selection_metric, mrr,
+                    stats["ent_raw"].mrr, stats["ent_filter"].mrr, best_mrr,
                 )
                 if mrr > best_mrr:
                     best_mrr, best_epoch = mrr, epoch
@@ -575,6 +576,9 @@ class Trainer:
             from regcn_tpu.train.state import wait_for_checkpoints
 
             wait_for_checkpoints()  # commit in-flight async saves
+        # NOTE: best_valid_mrr_raw carries the SELECTION metric's value
+        # (relation raw MRR under selection_metric="rel_raw") — pair it
+        # with the returned selection_metric when reporting
         return best_state, {"best_valid_mrr_raw": best_mrr,
                             "selection_metric": selection_metric,
                             "history": history_rows}

@@ -188,3 +188,14 @@ def test_cli_hyperbolic_multistep_relation_eval(tmp_path, monkeypatch):
     ])
     assert 0 < result["ent_raw"]["mrr"] <= 1
     assert calls["snap_r"] > 0  # relation feedback actually ran
+
+
+def test_cli_vectorized_grid_rejects_eval_flags():
+    """grid --vectorize has no test/analysis phase; eval-protocol flags
+    must error instead of silently no-opping (round-5 review finding)."""
+    import regcn_tpu.cli as cli
+
+    for flag in ("--multi-step", "--relation-evaluation", "--run-analysis"):
+        with pytest.raises(SystemExit, match="vectorize"):
+            cli.main(["grid", "-d", "synthetic-small", "--grid-family",
+                      "hyperbolic", "--vectorize", "--tune", "lr", flag])

@@ -140,10 +140,18 @@ def test_rgcn_aggregate_cumsum_matches_xla():
     h = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
     rel_emb = jnp.asarray(rng.normal(size=(r2, d)), jnp.float32)
     w = jnp.asarray(rng.normal(size=(d, d)) * 0.1, jnp.float32)
+    # production layout: sorted REAL edges followed by a zero-filled
+    # padded tail (build_snapshot's dst_sorted stores) — the pad dst=0
+    # breaks global monotonicity, which the impl must handle via the mask
+    e_real = e - 512
     src = jnp.asarray(rng.integers(0, n, e), jnp.int32)
-    dst = jnp.asarray(np.sort(rng.integers(0, n, e)), jnp.int32)
+    dst_np = np.zeros(e, np.int64)
+    dst_np[:e_real] = np.sort(rng.integers(0, n, e_real))
+    dst = jnp.asarray(dst_np, jnp.int32)
     rel = jnp.asarray(rng.integers(0, r2, e), jnp.int32)
-    mask = jnp.asarray(rng.uniform(size=e) > 0.1, jnp.float32)
+    mask_np = np.zeros(e, np.float32)
+    mask_np[:e_real] = (rng.uniform(size=e_real) > 0.1)
+    mask = jnp.asarray(mask_np)
     norm = jnp.asarray(rng.uniform(0.1, 1.0, size=n), jnp.float32)
 
     ref = rgcn_aggregate(h, rel_emb, w, src, dst, rel, mask, norm, impl="xla")
