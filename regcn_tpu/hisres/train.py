@@ -700,7 +700,7 @@ class HisResTrainer:
                                   ent_f, rel_f, time_offset=len(self.train_list),
                                   cache_key="valid")
             mrr = stats[selection_metric].mrr
-                log.info("epoch %03d | e/r/s %.4f/%.4f/%.4f | %s MRR %.4f | %.1fs",
+            log.info("epoch %03d | e/r/s %.4f/%.4f/%.4f | %s MRR %.4f | %.1fs",
                      epoch, losses["entity"], losses["relation"], losses["static"],
                      selection_metric, mrr, time.time() - t0)
             if self.run_analysis:
